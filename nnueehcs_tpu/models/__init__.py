@@ -1,0 +1,22 @@
+"""UQ model wrappers (reference ``nnueehcs/models.py``)."""
+from .base import WrappedModelBase, training_defaults
+from .mlp import MLPModel
+from .ensemble import EnsembleModel
+from .mc_dropout import MCDropoutModel
+from .kde import KDEMLPModel, KNNKDEMLPModel
+from .delta_uq import DeltaUQMLP
+from .pager import PAGERMLP
+
+MODEL_CLASSES = {
+    'MLPModel': MLPModel,
+    'EnsembleModel': EnsembleModel,
+    'MCDropoutModel': MCDropoutModel,
+    'KDEMLPModel': KDEMLPModel,
+    'KNNKDEMLPModel': KNNKDEMLPModel,
+    'DeltaUQMLP': DeltaUQMLP,
+    'PAGERMLP': PAGERMLP,
+}
+
+__all__ = ['WrappedModelBase', 'MLPModel', 'EnsembleModel', 'MCDropoutModel',
+           'KDEMLPModel', 'KNNKDEMLPModel', 'DeltaUQMLP', 'PAGERMLP',
+           'MODEL_CLASSES', 'training_defaults']

@@ -1,0 +1,259 @@
+"""Model wrapper base: the uniform ``model(x, return_ue=False)`` contract.
+
+TPU-native re-design of the reference's Lightning-module base (reference
+``nnueehcs/models.py:22-85``).  Instead of an object with mutable forward
+behaviour, every wrapper exposes *pure* functions over explicit
+``(params, state)`` pytrees:
+
+- ``training_loss(params, state, batch, rng) -> (loss, new_state)`` — the
+  function the trainer differentiates (one jitted program per trial),
+- ``validation_loss(params, state, batch, rng) -> loss``,
+- ``eval_output(params, state, x, rng, return_ue)`` — the UE forward pass.
+
+The stateful convenience API (``model(x, return_ue=True)``) wraps these pure
+functions with a jit cache bucketed by padded batch size, so arbitrary-length
+evaluation batches hit a handful of compiled programs with static shapes.
+
+Training defaults mirror the reference exactly: ``lr 1e-3, batch 32,
+epochs 10, loss l1_loss`` (reference ``nnueehcs/models.py:13-19``).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import TRAIN_MODE, EVAL_MODE, Mode
+from ..nn.network import Network
+from ..ops.losses import get_loss_fn
+
+training_defaults = {
+    'learning_rate': 1e-3,
+    'batch_size': 32,
+    'num_workers': 1,
+    'num_epochs': 10,
+    'loss': 'l1_loss',
+}
+
+# Eval batches are padded up to the next bucket so any input length maps to a
+# few compiled programs. Row-independent forward passes make padding safe.
+_MIN_BUCKET = 256
+
+
+def _bucket_size(n: int) -> int:
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def _std_unbiased(x, axis=0):
+    """torch.Tensor.std default is the *unbiased* (ddof=1) estimator."""
+    return jnp.std(x, axis=axis, ddof=1)
+
+
+class WrappedModelBase:
+    """Base for all UQ model wrappers."""
+
+    uq_method = 'mlp'
+
+    def __init__(self, net: Network, train_config=None, validation_config=None):
+        self.net = net
+        self.train_config = copy.deepcopy(training_defaults)
+        self.validation_config = copy.deepcopy(training_defaults)
+        self.set_train_config(train_config)
+        self.set_validation_config(validation_config)
+
+        self.params = None
+        self.state = None
+        self.dtype = jnp.float32
+        self._jit_cache = {}
+        self._cache_version = 0
+
+    # ------------------------------------------------------------------ config
+    def set_train_config(self, train_config):
+        if train_config is None:
+            self.set_train_config(self.train_config)
+            return
+        self.train_config.update(train_config)
+        self.loss = self.get_loss_fn(self.train_config['loss'])
+
+    def set_validation_config(self, validation_config):
+        if validation_config is None:
+            self.set_validation_config(self.train_config)
+            return
+        self.validation_config.update(validation_config)
+        self.val_loss = self.get_loss_fn(self.validation_config['loss'])
+
+    def get_loss_fn(self, name):
+        return get_loss_fn(name)
+
+    def get_callbacks(self):
+        return []
+
+    # ------------------------------------------------------------------ init
+    def init(self, key, in_shape):
+        """Initialise parameters for input feature shape ``in_shape``
+        (without the batch axis)."""
+        self.params, self.state = self.net.init(key, (1,) + tuple(in_shape))
+        self.invalidate_cache()
+        return self.params, self.state
+
+    @property
+    def initialized(self):
+        return self.params is not None
+
+    def invalidate_cache(self):
+        self._jit_cache = {}
+        self._cache_version = getattr(self, '_cache_version', 0) + 1
+
+    # ------------------------------------------------------ pure training fns
+    def train_output(self, params, state, x, rng):
+        return self.net.apply(params, state, x, TRAIN_MODE, rng=rng)
+
+    def train_targets(self, y):
+        return y
+
+    def training_loss(self, params, state, batch, rng):
+        x, y = batch
+        out, new_state = self.train_output(params, state, x, rng)
+        return self.loss(out, self.train_targets(y)), new_state
+
+    def validation_loss(self, params, state, batch, rng):
+        x, y = batch
+        out = self.eval_output(params, state, x, rng, return_ue=False)
+        return self.val_loss(out, y)
+
+    # ------------------------------------------------------------- pure eval
+    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        y, _ = self.net.apply(params, state, x, EVAL_MODE, rng=None)
+        if return_ue:
+            raise NotImplementedError(
+                f'{type(self).__name__} does not define an uncertainty estimate')
+        return y
+
+    # --------------------------------------------------------- stateful sugar
+    def _eval_rng(self):
+        return None
+
+    def __call__(self, x, return_ue: bool = False):
+        if not self.initialized:
+            raise RuntimeError('Model parameters are not initialised; '
+                               'call model.init(key, in_shape) or train first.')
+        x = jnp.asarray(x)
+        if x.dtype == jnp.float64:
+            x = x.astype(self.dtype)
+        squeeze_batch = False
+        if x.ndim == 1:
+            x = x[None]
+            squeeze_batch = True
+        n = x.shape[0]
+        bucket = _bucket_size(n)
+        key = ('eval', return_ue, bucket) + x.shape[1:]
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, s, xx, r: self.eval_output(p, s, xx, r, return_ue=return_ue))
+            self._jit_cache[key] = fn
+        if bucket != n:
+            pad = jnp.zeros((bucket - n,) + x.shape[1:], x.dtype)
+            # pad with the first row repeated to keep values in-distribution
+            pad = pad + x[0]
+            x_padded = jnp.concatenate([x, pad], axis=0)
+        else:
+            x_padded = x
+        out = fn(self.params, self.state, x_padded, self._eval_rng())
+
+        def trim(o):
+            o = o[:n]
+            return o[0] if squeeze_batch else o
+        if isinstance(out, tuple):
+            return tuple(trim(o) for o in out)
+        return trim(out)
+
+    # ------------------------------------------------------------ conversion
+    def to(self, target):
+        """Cast parameters to a dtype, or place them on a device."""
+        if target is None:
+            return self
+        try:
+            dt = np.dtype(target)
+            is_dtype = True
+        except TypeError:
+            is_dtype = False
+        if is_dtype:
+            if dt == np.float64 and not jax.config.read('jax_enable_x64'):
+                dt = np.dtype('float32')   # TPUs run float32/bfloat16
+            self.dtype = jnp.dtype(dt)
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            if self.params is not None:
+                self.params = cast(self.params)
+                self.state = cast(self.state)
+            self._cast_buffers(cast)
+            self.invalidate_cache()
+        else:   # a jax.Device
+            put = lambda t: jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, target), t)
+            if self.params is not None:
+                self.params = put(self.params)
+                self.state = put(self.state)
+        return self
+
+    def _cast_buffers(self, cast):
+        pass
+
+    def eval(self):
+        """No-op kept for API parity; eval behaviour is explicit here."""
+        return self
+
+    @property
+    def device(self):
+        if self.params is not None:
+            leaves = jax.tree_util.tree_leaves(self.params)
+            if leaves and hasattr(leaves[0], 'devices'):
+                return next(iter(leaves[0].devices()))
+        return jax.devices()[0]
+
+    # ----------------------------------------------------------- checkpointing
+    def config_dict(self) -> dict:
+        """Constructor-equivalent config; extended by subclasses."""
+        return {
+            'class': type(self).__name__,
+            'uq_method': self.uq_method,
+            'architecture': self.net.architecture,
+            'train_config': self.train_config,
+            'validation_config': self.validation_config,
+        }
+
+    def arrays_dict(self) -> dict:
+        """All learned/fitted arrays as a picklable numpy pytree."""
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        d = {'params': to_np(self.params), 'state': to_np(self.state)}
+        d.update(self._extra_arrays())
+        return d
+
+    def _extra_arrays(self) -> dict:
+        return {}
+
+    def load_arrays(self, arrays: dict):
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.params = _tuplify(to_j(arrays['params']))
+        self.state = _tuplify(to_j(arrays['state']))
+        self._load_extra_arrays(arrays)
+        self.invalidate_cache()
+
+    def _load_extra_arrays(self, arrays: dict):
+        pass
+
+
+def _tuplify(t):
+    """Pickle round-trips may turn tuples into lists; restore tuples."""
+    if isinstance(t, list):
+        return tuple(_tuplify(x) for x in t)
+    if isinstance(t, tuple):
+        return tuple(_tuplify(x) for x in t)
+    return t

@@ -1,0 +1,96 @@
+"""PAGER: Δ-UQ anchoring + conformal anchoring-error score.
+
+Reconstructed from the reference call sites (reference
+``nnueehcs/models.py:376-473``):
+
+- the Δ-UQ ``(mean, std)`` is computed as in :class:`DeltaUQMLP`,
+- the conformal score of a test sample ``s`` uses the anchored *prediction
+  matrix*: entry ``(s, a)`` is the prediction for anchor input ``a`` when
+  the network is anchored at ``s`` (the reference's
+  ``return_pred_matrix=True`` path, ``models.py:404-429``),
+- ``score(s) = max_a | p_matrix[s, a] - anchors_Y[a] |``
+  (reference ``models.py:431-434``),
+- the final uncertainty is ``max(std, score)`` (reference
+  ``models.py:390-402``).
+
+The whole anchors×samples matrix is produced by one batched network pass —
+the ``(B, A, 2d)`` anchored inputs collapse into a single ``(B·A, 2d)``
+GEMM stack on the MXU, chunked by ``anchored_batch_size`` via the inherited
+``__call__``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import EVAL_MODE
+from .base import _std_unbiased
+from .delta_uq import DeltaUQMLP, anchored_input
+from ..training.hooks import PAGERGetAnchorsHook
+
+
+class PAGERMLP(DeltaUQMLP):
+    uq_method = 'pager'
+
+    def __init__(self, net, estimator: str = 'std', anchored_batch_size=None,
+                 num_anchors: int = 5, vectorize: bool = True, **kwargs):
+        super().__init__(net, estimator=estimator, num_anchors=num_anchors,
+                         anchored_batch_size=anchored_batch_size, **kwargs)
+        self.vectorize = vectorize
+        self._anchors_Y = None
+
+    @property
+    def anchors_Y(self):
+        return self._anchors_Y
+
+    @anchors_Y.setter
+    def anchors_Y(self, value):
+        self._anchors_Y = None if value is None else jnp.asarray(np.asarray(value))
+        self.invalidate_cache()
+
+    def get_callbacks(self):
+        return [PAGERGetAnchorsHook()]
+
+    # ------------------------------------------------------------------ eval
+    def _prediction_matrix(self, params, state, x, anchors_X):
+        """(B, A) matrix: anchor inputs predicted while anchored at each
+        test sample — one fully batched pass."""
+        def anchored_at_sample(s):
+            inp = anchored_input(anchors_X, jnp.broadcast_to(s, anchors_X.shape))
+            y, _ = self.net.apply(params, state, inp, EVAL_MODE, rng=None)
+            return y                                   # (A, out)
+        p = jax.vmap(anchored_at_sample)(x)            # (B, A, out)
+        return p[..., 0] if p.ndim == 3 else p
+
+    def _conformal_scores(self, params, state, x, anchors_X, anchors_Y):
+        p_matrix = self._prediction_matrix(params, state, x, anchors_X)
+        dev = jnp.abs(p_matrix - anchors_Y.reshape(1, -1))
+        return jnp.max(dev, axis=1, keepdims=True)     # (B, 1)
+
+    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        res = super().eval_output(params, state, x, rng, return_ue=return_ue)
+        if not return_ue:
+            return res
+        pred, uncertainty = res
+        scores = self._conformal_scores(
+            params, state, x,
+            self._anchors[:self.num_anchors],
+            self._anchors_Y[:self.num_anchors])
+        return pred, jnp.maximum(uncertainty, scores)
+
+    # ----------------------------------------------------------- checkpointing
+    def _extra_arrays(self):
+        d = super()._extra_arrays()
+        d['anchors_Y'] = None if self._anchors_Y is None else np.asarray(self._anchors_Y)
+        return d
+
+    def _load_extra_arrays(self, arrays):
+        super()._load_extra_arrays(arrays)
+        a = arrays.get('anchors_Y')
+        self._anchors_Y = None if a is None else jnp.asarray(a)
+
+    def _cast_buffers(self, cast):
+        super()._cast_buffers(cast)
+        if self._anchors_Y is not None:
+            self._anchors_Y = cast(self._anchors_Y)

@@ -1,0 +1,113 @@
+"""Trainer hooks (the reference's Lightning callbacks, made explicit).
+
+The reference attaches UQ-specific behaviour — KDE fitting, anchor capture —
+as Lightning callbacks observing epoch-0 training batches (reference
+``nnueehcs/models.py:225-243, 267-285, 354-373, 450-472``).  Here they are
+plain hook objects invoked by :class:`nnueehcs_tpu.training.Trainer` at the
+same points in the loop.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TrainerHook:
+    """Hook points mirroring the Lightning callback surface the reference
+    relies on."""
+
+    def on_fit_start(self, trainer, model):
+        pass
+
+    def on_train_batch_end(self, trainer, model, batch, batch_idx):
+        pass
+
+    def on_train_epoch_end(self, trainer, model):
+        pass
+
+    def on_validation_epoch_start(self, trainer, model):
+        pass
+
+    def on_validation_end(self, trainer, model, metrics):
+        pass
+
+
+class KDEFitHook(TrainerHook):
+    """Buffer epoch-0 training inputs, fit the KDE at the end of epoch 0
+    (reference ``nnueehcs/models.py:225-240``)."""
+
+    def __init__(self):
+        self._train_data_to_fit = []
+        self._epochs = 0
+
+    def on_train_batch_end(self, trainer, model, batch, batch_idx):
+        if self._epochs == 0:
+            self._train_data_to_fit.append(np.asarray(batch[0]))
+
+    def on_train_epoch_end(self, trainer, model):
+        print(f'Fitting KDE on {len(self._train_data_to_fit)} batches')
+        if self._epochs == 0:
+            model.fit_kde(np.concatenate(self._train_data_to_fit))
+        self._epochs += 1
+
+
+class KNNKDEFitHook(TrainerHook):
+    """Same capture, but fit happens at the first validation-epoch start
+    (reference ``nnueehcs/models.py:267-281``)."""
+
+    def __init__(self):
+        self._train_data_to_fit = []
+        self._epochs = 0
+
+    def on_train_batch_end(self, trainer, model, batch, batch_idx):
+        if self._epochs == 0:
+            self._train_data_to_fit.append(np.asarray(batch[0]))
+
+    def on_validation_epoch_start(self, trainer, model):
+        if self._epochs == 0 and self._train_data_to_fit:
+            model.fit_kde(np.concatenate(self._train_data_to_fit))
+        self._epochs += 1
+
+
+class DeltaUQGetAnchorsHook(TrainerHook):
+    """Capture the first ``num_anchors`` training inputs during epoch 0 and
+    install them as anchors before the first validation epoch (reference
+    ``nnueehcs/models.py:354-369``)."""
+
+    def __init__(self):
+        self._train_data_to_fit = []
+        self._epochs = 0
+
+    def on_train_batch_end(self, trainer, model, batch, batch_idx):
+        bs = np.asarray(batch[0]).shape[0]
+        if self._epochs == 0 and bs * len(self._train_data_to_fit) < model.num_anchors:
+            self._train_data_to_fit.append(np.asarray(batch[0]))
+
+    def on_validation_epoch_start(self, trainer, model):
+        if self._epochs == 0 and self._train_data_to_fit:
+            data = np.concatenate(self._train_data_to_fit)
+            model.anchors = data[:model.num_anchors]
+        self._epochs += 1
+
+
+class PAGERGetAnchorsHook(TrainerHook):
+    """Like :class:`DeltaUQGetAnchorsHook` but also captures anchor targets
+    (reference ``nnueehcs/models.py:450-472``)."""
+
+    def __init__(self):
+        self._anchor_X = []
+        self._anchor_Y = []
+        self._epochs = 0
+
+    def on_train_batch_end(self, trainer, model, batch, batch_idx):
+        bs = np.asarray(batch[0]).shape[0]
+        if self._epochs == 0 and bs * len(self._anchor_X) < model.num_anchors:
+            self._anchor_X.append(np.asarray(batch[0]))
+            self._anchor_Y.append(np.asarray(batch[1]))
+
+    def on_validation_epoch_start(self, trainer, model):
+        if self._epochs == 0 and self._anchor_X:
+            n = model.num_anchors
+            model.anchors = np.concatenate(self._anchor_X)[:n]
+            model.anchors_Y = np.concatenate(self._anchor_Y)[:n]
+        self._epochs += 1

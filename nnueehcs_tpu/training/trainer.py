@@ -1,0 +1,343 @@
+"""The training loop: one jitted program per trial.
+
+TPU-native replacement for the reference's ``pytorch_lightning.Trainer``
+subclass (reference ``nnueehcs/training.py:13-37``).  Lightning's implicit
+behaviours are re-specified explicitly:
+
+- AdamW (betas 0.9/0.999, eps 1e-8) + gradient clip-by-global-norm
+  (``gradient_clip_val`` — Lightning's default 'norm' algorithm),
+- ``ReduceLROnPlateau`` on ``val_loss`` with torch defaults (factor 0.1,
+  patience 10, relative threshold 1e-4) — the learning rate is a *runtime
+  scalar* fed into the jitted step, so plateau drops never recompile,
+- ``EarlyStopping`` on ``val_loss``; best-model checkpointing via
+  :class:`ModelSavingCallback`,
+- ``limit_train_batches`` / ``limit_val_batches`` / ``overfit_batches`` /
+  ``log_every_n_steps`` / ``max_epochs`` with Lightning semantics,
+- CSVLogger rows in the same layout (``logs/<name>/<version>/metrics.csv``).
+
+Epoch 0 runs batch-by-batch through a single compiled step so UQ hooks can
+observe training batches (KDE fit, anchor capture — reference Lightning
+callbacks).  Later epochs run as one ``lax.scan`` over the shuffled batch
+index matrix: the whole epoch is a single device program.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .callbacks import EarlyStopping, ModelSavingCallback
+from .data import DataLoader
+from .hooks import TrainerHook
+from .loggers import CSVLogger
+
+
+def _inst_init_if_not_none(inst, attr, val, default):
+    setattr(inst, attr, val if val is not None else default)
+
+
+class PlateauScheduler:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau('min') defaults."""
+
+    def __init__(self, factor=0.1, patience=10, threshold=1e-4,
+                 cooldown=0, min_scale=0.0):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.min_scale = min_scale
+        self.best = math.inf
+        self.num_bad = 0
+        self.cooldown_counter = 0
+        self.scale = 1.0
+
+    def step(self, metric: float):
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.cooldown_counter = self.cooldown
+                self.num_bad = 0
+        return self.scale
+
+
+def _resolve_limit(limit, total: int) -> int:
+    if limit is None:
+        return total
+    if isinstance(limit, float):
+        return max(1, int(total * limit)) if limit < 1.0 else total
+    return min(int(limit), total)
+
+
+class Trainer:
+    def __init__(self, name, trainer_config, logger=None, callbacks=None,
+                 version=None, log_dir='logs'):
+        self.name = name
+        self.trainer_config = dict(trainer_config)
+        _inst_init_if_not_none(self, 'callbacks', callbacks,
+                               [EarlyStopping(monitor='val_loss')])
+        _inst_init_if_not_none(self, 'logger', logger,
+                               CSVLogger(log_dir, name=name, version=version))
+        self.logger.log_hyperparams(self.trainer_config)
+
+        cfg = self.trainer_config
+        self.max_epochs = cfg.get('max_epochs', 1000)
+        self.limit_train_batches = cfg.get('limit_train_batches', None)
+        self.limit_val_batches = cfg.get('limit_val_batches', None)
+        self.log_every_n_steps = cfg.get('log_every_n_steps', 50)
+        self.gradient_clip_val = cfg.get('gradient_clip_val', None)
+        self.overfit_batches = cfg.get('overfit_batches', 0)
+        self.accelerator = cfg.get('accelerator', 'auto')
+        self.seed = cfg.get('seed', 42)
+
+        self.should_stop = False
+        self.current_epoch = 0
+        self.global_step = 0
+        self.callback_metrics = {}
+
+    # ------------------------------------------------------------- accessors
+    def get_logger(self):
+        return self.logger
+
+    def get_callbacks(self):
+        return self.callbacks
+
+    @classmethod
+    def get_default_logdir(cls, dir, name, version):
+        return CSVLogger(dir, name=name, version=version).log_dir
+
+    # ------------------------------------------------------------------ fit
+    def _device(self):
+        if self.accelerator == 'cpu':
+            return jax.devices('cpu')[0]
+        return jax.devices()[0]
+
+    def fit(self, model, train_dataloaders, val_dataloaders=None):
+        device = self._device()
+        with jax.default_device(device):
+            return self._fit(model, train_dataloaders, val_dataloaders, device)
+
+    def _fit(self, model, train_dl: DataLoader, val_dl: Optional[DataLoader],
+             device):
+        if val_dl is None:
+            val_dl = train_dl
+
+        dtype = model.dtype
+        x_train = jnp.asarray(train_dl.inputs, dtype)
+        y_train = jnp.asarray(train_dl.outputs, dtype)
+        bs = train_dl.batch_size
+        n = x_train.shape[0]
+
+        # ----- batching plan (Lightning semantics)
+        overfit = self.overfit_batches
+        if overfit:
+            nb_train = int(overfit) if overfit >= 1 else max(1, int((n // bs) * overfit))
+            shuffle = False
+            x_val, y_val = x_train, y_train
+            val_bs = bs
+            nb_val = nb_train
+            val_limit_n = min(nb_train * bs, n)
+            x_val, y_val = x_val[:val_limit_n], y_val[:val_limit_n]
+        else:
+            nb_full = n // bs if train_dl.drop_last else -(-n // bs)
+            if train_dl.drop_last:
+                nb_train = _resolve_limit(self.limit_train_batches, nb_full)
+            else:
+                nb_train = _resolve_limit(self.limit_train_batches, n // bs)
+            nb_train = max(nb_train, 1)
+            shuffle = train_dl.shuffle
+            x_val = jnp.asarray(val_dl.inputs, dtype)
+            y_val = jnp.asarray(val_dl.outputs, dtype)
+            val_bs = val_dl.batch_size
+            nb_val_full = -(-x_val.shape[0] // val_bs)
+            nb_val = max(_resolve_limit(self.limit_val_batches, nb_val_full), 1)
+
+        # ----- model init
+        root_key = jax.random.PRNGKey(self.seed)
+        init_key, shuffle_key, train_key, val_key = jax.random.split(root_key, 4)
+        if not model.initialized:
+            model.init(init_key, x_train.shape[1:])
+        model.to(dtype)
+
+        # ----- optimizer: clip → adam moments → weight decay; the learning
+        # rate is applied outside the transform so plateau drops are a
+        # runtime scalar, not a recompile.
+        weight_decay = float(model.train_config.get('weight_decay', 0) or 0)
+        base_lr = float(model.train_config['learning_rate'])
+        chain = []
+        if self.gradient_clip_val:
+            chain.append(optax.clip_by_global_norm(float(self.gradient_clip_val)))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        tx = optax.chain(*chain)
+        opt_state = tx.init(model.params)
+
+        # ----- jitted programs
+        def train_step(params, state, opt_state, idx, lr, rng):
+            batch = (x_train[idx], y_train[idx])
+            (loss, new_state), grads = jax.value_and_grad(
+                model.training_loss, has_aux=True)(params, state, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: (p - lr * u).astype(p.dtype), params, updates)
+            return params, new_state, opt_state, loss
+
+        train_step_jit = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+        def epoch_scan(params, state, opt_state, idx_mat, lr, epoch_rng):
+            def body(carry, inp):
+                params, state, opt_state = carry
+                idx, step_i = inp
+                rng = jax.random.fold_in(epoch_rng, step_i)
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, idx, lr, rng)
+                return (params, state, opt_state), loss
+            steps = jnp.arange(idx_mat.shape[0])
+            (params, state, opt_state), losses = jax.lax.scan(
+                body, (params, state, opt_state), (idx_mat, steps))
+            return params, state, opt_state, losses
+
+        epoch_scan_jit = jax.jit(epoch_scan, donate_argnums=(0, 1, 2))
+
+        val_cache = {}
+
+        def get_val_step(batch_len):
+            token = (batch_len, getattr(model, '_cache_version', 0))
+            fn = val_cache.get(token)
+            if fn is None:
+                def val_step(params, state, xb, yb, rng):
+                    return model.validation_loss(params, state, (xb, yb), rng)
+                fn = jax.jit(val_step)
+                val_cache[token] = fn
+            return fn
+
+        # ----- hooks
+        hooks: List[TrainerHook] = list(self.callbacks)
+        for h in hooks:
+            h.on_fit_start(self, model)
+        # model hyperparams, as WrappedModelBase.on_train_start did
+        self.logger.log_hyperparams({'train_config': model.train_config,
+                                     'validation_config': model.validation_config})
+
+        plateau = PlateauScheduler()
+        lr_scale = 1.0
+
+        params, state, opt = model.params, model.state, opt_state
+
+        fit_start = time.time()
+        for epoch in range(self.max_epochs):
+            self.current_epoch = epoch
+
+            # ---- shuffled batch index matrix for this epoch
+            if shuffle:
+                perm = jax.random.permutation(
+                    jax.random.fold_in(shuffle_key, epoch), n)
+            else:
+                perm = jnp.arange(n)
+            take = min(nb_train * bs, n - (n % bs if train_dl.drop_last else 0))
+            nb_eff = take // bs
+            if nb_eff == 0:   # dataset smaller than one batch
+                nb_eff, take = 1, n
+                idx_mat = perm[:take][None, :]
+            else:
+                idx_mat = perm[:nb_eff * bs].reshape(nb_eff, bs)
+
+            lr = jnp.asarray(base_lr * lr_scale, jnp.float32)
+            epoch_rng = jax.random.fold_in(train_key, epoch)
+
+            batch_hooks = [h for h in hooks
+                           if _wants_batches(h, epoch)] if hooks else []
+            if batch_hooks:
+                losses = []
+                for b in range(idx_mat.shape[0]):
+                    idx = idx_mat[b]
+                    rng = jax.random.fold_in(epoch_rng, b)
+                    params, state, opt, loss = train_step_jit(
+                        params, state, opt, idx, lr, rng)
+                    losses.append(loss)
+                    batch = (x_train[idx], y_train[idx])
+                    model.params, model.state = params, state
+                    for h in batch_hooks:
+                        h.on_train_batch_end(self, model, batch, b)
+                losses = jnp.stack(losses)
+            else:
+                params, state, opt, losses = epoch_scan_jit(
+                    params, state, opt, idx_mat, lr, epoch_rng)
+
+            model.params, model.state = params, state
+
+            # ---- train-loss logging (per-step rows, Lightning layout)
+            losses_np = np.asarray(losses)
+            for b in range(idx_mat.shape[0]):
+                step = self.global_step + b
+                if (step + 1) % self.log_every_n_steps == 0:
+                    self.logger.log_metrics(
+                        {'train_loss': float(losses_np[b]), 'epoch': epoch},
+                        step=step)
+            self.global_step += idx_mat.shape[0]
+            self.callback_metrics['train_loss'] = float(losses_np[-1])
+
+            for h in hooks:
+                h.on_train_epoch_end(self, model)
+
+            # ---- validation epoch
+            for h in hooks:
+                h.on_validation_epoch_start(self, model)
+
+            val_losses, val_weights = [], []
+            n_val = x_val.shape[0]
+            for b in range(nb_val):
+                lo = b * val_bs
+                hi = min(lo + val_bs, n_val)
+                if lo >= hi:
+                    break
+                xb, yb = x_val[lo:hi], y_val[lo:hi]
+                rng = jax.random.fold_in(val_key, epoch * 100003 + b)
+                fn = get_val_step(hi - lo)
+                val_losses.append(fn(params, state, xb, yb, rng))
+                val_weights.append(hi - lo)
+            vl = float(np.average(np.asarray(jnp.stack(val_losses)),
+                                  weights=val_weights))
+            self.callback_metrics['val_loss'] = vl
+            self.logger.log_metrics({'val_loss': vl, 'epoch': epoch},
+                                    step=self.global_step - 1)
+
+            model.params, model.state = params, state
+            for h in hooks:
+                h.on_validation_end(self, model, self.callback_metrics)
+
+            lr_scale = plateau.step(vl)
+
+            self.logger.save()
+            if self.should_stop:
+                break
+
+        model.params, model.state = params, state
+        self.fit_time = time.time() - fit_start
+        self.logger.finalize()
+        return model
+
+
+def _wants_batches(hook: TrainerHook, epoch: int) -> bool:
+    custom = type(hook).on_train_batch_end is not TrainerHook.on_train_batch_end
+    if not custom:
+        return False
+    wants = getattr(hook, 'wants_train_batches', None)
+    if wants is not None:
+        return wants(epoch)
+    # the built-in UQ hooks only observe epoch 0
+    return epoch == 0 or not hasattr(hook, '_epochs')

@@ -52,11 +52,21 @@ def _use_pallas() -> bool:
 # --------------------------------------------------------------------------
 # exact KDE log-density — XLA path
 # --------------------------------------------------------------------------
-def _sq_dists(x, data):
-    """(B, N) squared euclidean distances via one MXU matmul."""
+def _sq_dists(x, data, center=None):
+    """(B, N) squared euclidean distances via one MXU matmul.
+
+    Both sides are shifted by a common ``center`` (distances are translation
+    invariant) to keep the ``x²+y²−2xy`` decomposition accurate in float32.
+    """
+    if center is not None:
+        x = x - center
+        data = data - center
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)           # (B, 1)
     d2 = jnp.sum(data * data, axis=-1)[None, :]           # (1, N)
-    cross = jnp.dot(x, data.T, preferred_element_type=jnp.float32)
+    # full-f32 matmul: the default precision rounds operands to bf16, which
+    # is too coarse for density-score parity with the reference
+    cross = jnp.dot(x, data.T, precision='highest',
+                    preferred_element_type=jnp.float32)
     return jnp.maximum(x2 + d2 - 2.0 * cross, 0.0)
 
 
@@ -120,7 +130,8 @@ def _kde_kernel(gamma_ref, nvalid_ref, x_ref, d_ref, out_ref, m_ref, s_ref):
     dta = d_ref[:]                                 # (NT, dpad)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     d2 = jnp.sum(dta * dta, axis=-1)[None, :]
-    cross = jnp.dot(x, dta.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(x, dta.T, precision='highest',
+                    preferred_element_type=jnp.float32)
     sqd = jnp.maximum(x2 + d2 - 2.0 * cross, 0.0)  # (BT, NT)
     expnt = -sqd * gamma_ref[0, 0]
 

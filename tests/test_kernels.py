@@ -1,0 +1,79 @@
+"""KDE/kNN scoring-op tests: sklearn parity for the exact KDE, chunked vs
+direct consistency, kNN truncation converging to the full KDE."""
+import jax
+import numpy as np
+import pytest
+
+from nnueehcs_tpu.ops.kde import (bandwidth_value, kde_logpdf_xla,
+                                  knn_kde_density, knn_sq_dists)
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    return (rng.normal(size=(200, 3)).astype(np.float32),
+            rng.normal(size=(64, 3)).astype(np.float32))
+
+
+def test_bandwidth_rules():
+    # sklearn KernelDensity conventions
+    assert bandwidth_value('scott', 100, 3) == pytest.approx(100 ** (-1 / 7))
+    assert bandwidth_value('silverman', 100, 3) == pytest.approx(
+        (100 * 5 / 4) ** (-1 / 7))
+    assert bandwidth_value(0.5, 100, 3) == 0.5
+
+
+def test_kde_matches_sklearn(data):
+    from sklearn.neighbors import KernelDensity
+    ref, q = data
+    h = bandwidth_value('scott', *ref.shape)
+    sk = KernelDensity(bandwidth=h).fit(ref)
+    expected = sk.score_samples(q)
+    got = np.asarray(kde_logpdf_xla(q, ref, h))
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_kde_chunked_matches_direct(data):
+    ref, q = data
+    h = 0.3
+    direct = np.asarray(kde_logpdf_xla(q, ref, h, chunk=8192))
+    chunked = np.asarray(kde_logpdf_xla(q, ref, h, chunk=32))
+    assert np.allclose(direct, chunked, atol=1e-4)
+
+
+def test_knn_sq_dists_exact(data):
+    ref, q = data
+    k = 10
+    got = np.sort(np.asarray(knn_sq_dists(q, ref, k)), axis=1)
+    full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    expected = np.sort(full, axis=1)[:, :k]
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_knn_sq_dists_chunked(data):
+    ref, q = data
+    a = np.sort(np.asarray(knn_sq_dists(q, ref, 7, chunk=4096)), axis=1)
+    b = np.sort(np.asarray(knn_sq_dists(q, ref, 7, chunk=33)), axis=1)
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_knn_kde_converges_to_full_kde(data):
+    ref, q = data
+    h = bandwidth_value('scott', *ref.shape)
+    full_logpdf = np.asarray(kde_logpdf_xla(q, ref, h))
+    knn_full = np.asarray(knn_kde_density(q, ref, h, k=len(ref)))
+    assert np.allclose(knn_full, np.exp(full_logpdf), rtol=1e-4)
+    # truncated density is a lower bound on the full density
+    knn_small = np.asarray(knn_kde_density(q, ref, h, k=5))
+    assert np.all(knn_small <= knn_full + 1e-7)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='Pallas kernel requires TPU')
+def test_kde_pallas_matches_xla(data):
+    from nnueehcs_tpu.ops.kde import kde_logpdf_pallas
+    ref, q = data
+    h = 0.4
+    xla = np.asarray(kde_logpdf_xla(q, ref, h))
+    pallas = np.asarray(kde_logpdf_pallas(q, ref, h))
+    assert np.allclose(pallas, xla, atol=1e-3)

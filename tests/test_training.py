@@ -1,0 +1,193 @@
+"""End-to-end training tests with the reference's golden convergence values
+(reference ``tests/test_training.py``): overfit one batch of synthetic
+``y = sum(x)`` and hit the golden min val_loss; save/load determinism; KDE
+fit goldens."""
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nnueehcs_tpu.model_builder import (
+    MLPModelBuilder, EnsembleModelBuilder, KDEModelBuilder,
+    DeltaUQMLPModelBuilder, PAGERModelBuilder)
+from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                   EarlyStopping, ModelSavingCallback,
+                                   save_model, load_model)
+
+GOLDEN_MIN_LOSS = 0.018744820728898     # reference tests/test_training.py:82
+
+
+def is_within_tolerance(number, target, tolerance):
+    return number <= target * (1 + tolerance)
+
+
+@pytest.fixture
+def trainer_config():
+    return {'accelerator': 'cpu',
+            'max_epochs': 3000,
+            'overfit_batches': 1,
+            'log_every_n_steps': 5,
+            'num_sanity_val_steps': 0,
+            'gradient_clip_val': 5}
+
+
+@pytest.fixture
+def training_config():
+    return {'loss': 'l1_loss'}
+
+
+@pytest.fixture
+def network_descr():
+    return [
+        {'Linear': {'args': [3, 128]}},
+        {'ReLU': {}},
+        {'Linear': {'args': [128, 1]}},
+    ]
+
+
+@pytest.fixture
+def train_dataloader():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(32, 3)).astype(np.float32)
+    return DataLoader(ArrayDataset(x, x.sum(1, keepdims=True)), batch_size=32)
+
+
+@pytest.fixture(autouse=True)
+def cleanup_files(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    yield
+    shutil.rmtree(tmp_path / 'logs', ignore_errors=True)
+
+
+def get_trainer(trainer_config, name, callbacks=None):
+    early = EarlyStopping(monitor='val_loss', min_delta=0.01, patience=200,
+                          verbose=False, mode='min')
+    cbs = [early]
+    if callbacks:
+        cbs.extend(callbacks)
+    return Trainer(name, trainer_config, callbacks=cbs)
+
+
+def model_accuracy_assertions(log_dir, tolerance=0.99, loss_ceiling=0.03):
+    val_loss = pd.read_csv(f'{log_dir}/metrics.csv')['val_loss'].dropna()
+    min_loss = val_loss.min()
+    assert is_within_tolerance(min_loss, GOLDEN_MIN_LOSS, tolerance)
+    assert min_loss < loss_ceiling
+    assert val_loss.idxmin() > val_loss.idxmax()
+    assert val_loss.min() * 50 < val_loss.max()
+
+
+def prediction_assertions(model, tmp='model.pth'):
+    save_model(model, tmp)
+    model = load_model(tmp)
+    x = np.random.randn(1, 3).astype(np.float32)
+    y = np.asarray(model(x))
+    assert np.allclose(y, np.asarray(model(x)))
+    os.remove(tmp)
+
+
+def test_mlp_convergence(trainer_config, training_config, network_descr,
+                         train_dataloader):
+    trainer = get_trainer(trainer_config, 'mlp')
+    mlp = MLPModelBuilder(network_descr, train_config=training_config).build()
+    trainer.fit(mlp, train_dataloader, train_dataloader)
+    model_accuracy_assertions(trainer.get_logger().log_dir)
+    prediction_assertions(mlp)
+
+
+def test_ensemble_convergence(trainer_config, training_config, network_descr,
+                              train_dataloader):
+    trainer = get_trainer(trainer_config, 'ensembles')
+    ens = EnsembleModelBuilder(network_descr, {'num_models': 3},
+                               train_config=training_config).build()
+    trainer.fit(ens, train_dataloader, train_dataloader)
+    model_accuracy_assertions(trainer.get_logger().log_dir)
+    prediction_assertions(ens)
+
+
+def test_kde_training_and_golden_density(trainer_config, training_config,
+                                         network_descr, train_dataloader):
+    kde = KDEModelBuilder(network_descr, kde_descr={'rtol': 10000 * 0.1},
+                          train_config=training_config).build()
+    trainer = get_trainer(trainer_config, 'kde', callbacks=kde.get_callbacks())
+    trainer.fit(kde, train_dataloader, train_dataloader)
+
+    model_accuracy_assertions(trainer.get_logger().log_dir)
+    prediction_assertions(kde)
+
+    est = kde.kde
+    assert est is not None
+    assert est.bandwidth == 'scott'
+    assert est.rtol == pytest.approx(0.1)
+
+    a_batch = next(iter(train_dataloader))[0]
+    scores = np.exp(np.asarray(est.score_samples(a_batch)))
+    # reference golden value for a 32x3 standard-normal batch under a
+    # scott-bandwidth Gaussian KDE (tests/test_training.py:138)
+    assert is_within_tolerance(scores.mean(), 0.032892700285257835, 0.20)
+
+
+def test_duq_training(trainer_config, training_config, network_descr,
+                      train_dataloader):
+    cfg = dict(trainer_config, max_epochs=300)
+    duq = DeltaUQMLPModelBuilder(network_descr, {'estimator': 'std'},
+                                 train_config=training_config).build()
+    trainer = get_trainer(cfg, 'duq', callbacks=duq.get_callbacks())
+    trainer.fit(duq, train_dataloader, train_dataloader)
+    assert duq.anchors is not None
+    prediction_assertions(duq)
+    x = np.random.randn(8, 3).astype(np.float32)
+    pred, ue = duq(x, return_ue=True)
+    assert np.asarray(pred).shape == (8, 1)
+    assert float(np.asarray(ue).mean()) >= 0
+
+
+def test_pager_training(trainer_config, training_config, network_descr,
+                        train_dataloader):
+    cfg = dict(trainer_config, max_epochs=300)
+    pager = PAGERModelBuilder(network_descr, {'estimator': 'std'},
+                              train_config=training_config).build()
+    trainer = get_trainer(cfg, 'pager', callbacks=pager.get_callbacks())
+    trainer.fit(pager, train_dataloader, train_dataloader)
+    assert pager.anchors is not None
+    assert pager.anchors_Y is not None
+    prediction_assertions(pager)
+    x = np.random.randn(8, 3).astype(np.float32)
+    pred, ue = pager(x, return_ue=True)
+    # PAGER UE = max(std, conformal) >= duq std
+    assert np.all(np.asarray(ue) >= 0)
+
+
+def test_early_stopping_stops():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(64, 3)).astype(np.float32)
+    dl = DataLoader(ArrayDataset(x, x.sum(1, keepdims=True)), batch_size=32)
+    m = MLPModelBuilder([{'Linear': {'args': [3, 8]}}, {'ReLU': {}},
+                         {'Linear': {'args': [8, 1]}}],
+                        train_config={'loss': 'l1_loss',
+                                      'learning_rate': 0.0}).build()
+    tr = Trainer('es', {'accelerator': 'cpu', 'max_epochs': 500},
+                 callbacks=[EarlyStopping(patience=3, min_delta=0.0)])
+    tr.fit(m, dl, dl)
+    # zero lr -> no improvement -> stops after patience epochs
+    assert tr.current_epoch < 20
+
+
+def test_model_saving_callback_keeps_best(tmp_path):
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(32, 3)).astype(np.float32)
+    dl = DataLoader(ArrayDataset(x, x.sum(1, keepdims=True)), batch_size=32)
+    m = MLPModelBuilder([{'Linear': {'args': [3, 32]}}, {'ReLU': {}},
+                         {'Linear': {'args': [32, 1]}}],
+                        train_config={'loss': 'l1_loss'}).build()
+    tr = Trainer('best', {'accelerator': 'cpu', 'max_epochs': 30,
+                          'overfit_batches': 1},
+                 callbacks=[EarlyStopping(patience=100), ModelSavingCallback()],
+                 log_dir=str(tmp_path))
+    tr.fit(m, dl, dl)
+    path = os.path.join(tr.logger.log_dir, 'model.pth')
+    assert os.path.exists(path)
+    best = load_model(path)
+    assert np.asarray(best(x)).shape == (32, 1)

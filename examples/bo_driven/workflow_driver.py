@@ -1,0 +1,131 @@
+"""Fan the (benchmark × uq_method × dataset-split) grid out as concurrent
+restartable tasks.
+
+The reference used Parsl + SLURM with ``retries=20`` per task (reference
+``examples/bo_driven/workflow_driver.py``).  Here each cell runs as a
+subprocess driving ``bo.py --restart``; failures are retried up to
+``retries`` times, resuming from the per-trial checkpoints.  Two execution
+modes:
+
+- local process pool (default) — ``max_concurrent_tasks`` simultaneous cells,
+- ``--sbatch`` — emit one sbatch script per cell using the
+  ``bo_slurm_config`` block, for SLURM clusters.
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+import os
+import subprocess
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from itertools import product
+
+import click
+import yaml
+
+
+def get_config(config_filename):
+    with open(config_filename) as f:
+        return yaml.safe_load(f)
+
+
+def run_bo_task(config_path, benchmark, uq_method, dataset, output,
+                rundir, retries):
+    env = dict(os.environ)
+    for var in ('SLURM_CPU_BIND', 'SLURM_CPU_BIND_LIST', 'SLURM_CPUS_ON_NODE',
+                'SLURM_CPUS_PER_TASK', 'SLURM_CPU_BIND_TYPE', 'SLURM_JOB_NAME'):
+        env.pop(var, None)
+    bo_script = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'bo.py')
+    cmd = [sys.executable, bo_script,
+           '--benchmark', benchmark, '--config', config_path,
+           '--uq_method', uq_method, '--dataset', dataset,
+           '--output', output, '--restart']
+    os.makedirs(rundir, exist_ok=True)
+    log_base = os.path.join(rundir, f'{benchmark}_{uq_method}_{dataset}')
+    for attempt in range(retries + 1):
+        with open(f'{log_base}.out', 'a') as out, \
+                open(f'{log_base}.err', 'a') as err:
+            out.write(f'--- attempt {attempt}: {" ".join(cmd)}\n')
+            out.flush()
+            rc = subprocess.run(cmd, stdout=out, stderr=err, env=env).returncode
+        if rc == 0:
+            return (benchmark, uq_method, dataset, 0)
+        print(f'Task {benchmark}/{uq_method}/{dataset} failed '
+              f'(attempt {attempt}, rc={rc}); retrying with --restart')
+    return (benchmark, uq_method, dataset, rc)
+
+
+def emit_sbatch_scripts(config_data, config_path, total, output, rundir):
+    slurm = dict(config_data.get('bo_slurm_config', {}))
+    os.makedirs(rundir, exist_ok=True)
+    scripts = []
+    for bench, uq_method, dset in total:
+        name = f'{bench}_{uq_method}_{dset}'
+        path = os.path.join(rundir, f'{name}.sbatch')
+        with open(path, 'w') as f:
+            f.write('#!/bin/bash\n')
+            if 'partition' in slurm:
+                f.write(f'#SBATCH --partition={slurm["partition"]}\n')
+            if 'account' in slurm:
+                f.write(f'#SBATCH --account={slurm["account"]}\n')
+            if 'walltime' in slurm:
+                f.write(f'#SBATCH --time={slurm["walltime"]}\n')
+            f.write(f'#SBATCH --nodes={slurm.get("nodes", 1)}\n')
+            f.write(f'#SBATCH --ntasks-per-node='
+                    f'{slurm.get("ntasks_per_node", 1)}\n')
+            f.write(f'#SBATCH --job-name={name}\n')
+            f.write(f'{sys.executable} bo.py --benchmark {bench} '
+                    f'--config {config_path} --uq_method {uq_method} '
+                    f'--dataset {dset} --output {output} --restart\n')
+        scripts.append(path)
+    return scripts
+
+
+@click.command()
+@click.option('--config', default='./config.yaml',
+              help='Path to the config file', required=False)
+@click.option('--output', default='workflow_output',
+              help='Path to the output directory.', required=False)
+@click.option('--parsl_rundir', '--rundir', 'rundir', default='./rundir',
+              help='Path to the task log/run directory', required=False)
+@click.option('--max_tasks', default=None, type=int,
+              help='Max concurrent tasks (default from workflow_config)')
+@click.option('--sbatch', is_flag=True, default=False,
+              help='Emit sbatch scripts instead of running locally')
+def main(config, output, rundir, max_tasks, sbatch):
+    config_data = get_config(config)
+    benches = list(config_data['benchmarks'].keys())
+    uq_methods = list(config_data['uq_methods'].keys())
+    dsets = ['tails', 'gaps']
+    total = list(product(benches, uq_methods, dsets))
+
+    wf_cfg = config_data.get('workflow_config', {})
+    retries = wf_cfg.get('retries', 20)
+    workers = max_tasks or wf_cfg.get('max_concurrent_tasks', 2)
+
+    if sbatch:
+        scripts = emit_sbatch_scripts(config_data, config, total, output,
+                                      rundir)
+        for s in scripts:
+            print(f'sbatch {s}')
+        return
+
+    print(f'Running {len(total)} tasks with {workers} workers, '
+          f'{retries} retries each')
+    results = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(run_bo_task, config, b, m, d, output,
+                               rundir, retries)
+                   for b, m, d in total]
+        for fut in futures:
+            results.append(fut.result())
+
+    failed = [r for r in results if r[3] != 0]
+    for b, m, d, rc in results:
+        print(f'{b}/{m}/{d}: {"OK" if rc == 0 else f"FAILED rc={rc}"}')
+    if failed:
+        sys.exit(1)
+
+
+if __name__ == '__main__':
+    main()

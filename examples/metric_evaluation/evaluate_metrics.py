@@ -1,0 +1,221 @@
+"""Post-hoc application of the full metric list to saved BO-trial models.
+
+Walks the results tree, selects the Pareto-optimal (or all) runs per
+(benchmark, dataset, method) using the BO objectives recorded in
+``trial_results.csv``, reloads each ``model.pth`` bundle and re-evaluates
+``evaluation.metrics`` from the config; emits a tidy CSV
+``[benchmark, dataset, method, trial, metric, objective, value]`` —
+the same contract as the reference
+(``/root/reference/examples/metric_evaluation/evaluate_metrics.py``).
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+from pathlib import Path
+
+import click
+import numpy as np
+import pandas as pd
+import yaml
+
+from nnueehcs_tpu.evaluation import get_evaluator
+from nnueehcs_tpu.utility import ResultsComposite, ResultsInstance
+from nnueehcs_tpu.data_utils import get_dataset, prepare_dataset_for_use
+from nnueehcs_tpu.training import load_model
+
+
+def get_evaluators(metrics):
+    return [get_evaluator(metric) for metric in metrics]
+
+
+def find_best_training_run(results_instance: ResultsInstance,
+                           train_eval_metric):
+    res = pd.read_csv(results_instance.get_trial_results_file())
+    name = train_eval_metric.get_metrics()[0]
+    if train_eval_metric.get_objectives()[0]['type'] == 'maximize':
+        best = res[name].max()
+    else:
+        best = res[name].min()
+    return best, res[res[name] == best].iloc[0]
+
+
+def get_latest_finished_trial(composite, benchmark, dataset_name, method):
+    num_trials = composite.get_num_trials(benchmark, dataset_name, method)
+    inst = composite.get_results_instance(benchmark, dataset_name, method,
+                                          f'bo_trial_{num_trials - 1}')
+    while not inst.is_finished():
+        num_trials -= 1
+        inst = composite.get_results_instance(benchmark, dataset_name, method,
+                                              f'bo_trial_{num_trials - 1}')
+    return inst
+
+
+def get_benchmark_dataset_pairs(composite, benchmark=None, dataset=None):
+    pairs = []
+    benchmarks = [benchmark] if benchmark \
+        else list(composite.get_benchmark_names())
+    for bench in benchmarks:
+        datasets = [dataset] if dataset \
+            else list(composite.get_dataset_names(bench))
+        for ds in datasets:
+            if list(composite.get_method_names(bench, ds)):
+                pairs.append((bench, ds))
+            else:
+                print(f'Warning: Skipping {bench}/{ds} - no methods found')
+    return pairs
+
+
+def prepare_datasets(dataset_cfg, dataset_name, training_cfg):
+    dataset_id = get_dataset(dataset_cfg, dataset_name)
+    dataset_ood = get_dataset(dataset_cfg, dataset_name, is_ood=True)
+    dataset_ood = prepare_dataset_for_use(dataset_ood, training_cfg,
+                                          scaling_dset=dataset_id)
+    dataset_id = prepare_dataset_for_use(dataset_id, training_cfg)
+    return dataset_id, dataset_ood
+
+
+def evaluate_model_metrics(model, dataset_id, dataset_ood, evaluators):
+    results = []
+    for metric in evaluators.metrics:
+        print(f'Evaluating with {metric.get_name()}')
+        result = metric.evaluate(model,
+                                 (np.asarray(dataset_id.input),
+                                  np.asarray(dataset_id.output)),
+                                 (np.asarray(dataset_ood.input),
+                                  np.asarray(dataset_ood.output)))
+        for objective_name, objective_value in result.items():
+            results.append([metric.get_name(), objective_name,
+                            objective_value])
+    return results
+
+
+def find_all_training_runs(results_instance: ResultsInstance):
+    res = pd.read_csv(results_instance.get_trial_results_file())
+    return [row for _, row in res.iterrows()]
+
+
+def is_pareto_efficient(costs):
+    is_efficient = np.ones(costs.shape[0], dtype=bool)
+    for i, c in enumerate(costs):
+        if is_efficient[i]:
+            is_efficient[is_efficient] = (
+                np.any(costs[is_efficient] < c, axis=1)
+                | np.all(costs[is_efficient] == c, axis=1))
+    return is_efficient
+
+
+def find_pareto_optimal_runs(results_instance: ResultsInstance,
+                             train_eval_metrics):
+    res = pd.read_csv(results_instance.get_trial_results_file())
+
+    if len(train_eval_metrics) == 1:
+        metric = train_eval_metrics[0]
+        name = metric.get_metrics()[0]
+        if metric.get_objectives()[0]['type'] == 'maximize':
+            best = res[name].max()
+        else:
+            best = res[name].min()
+        return [row for _, row in res[res[name] == best].iterrows()]
+
+    metric_names, directions = [], []
+    for metric in train_eval_metrics:
+        metric_names.append(metric.get_metrics()[0])
+        directions.append(
+            1 if metric.get_objectives()[0]['type'] == 'maximize' else -1)
+
+    costs = np.zeros((len(res), len(metric_names)))
+    for i, name in enumerate(metric_names):
+        costs[:, i] = res[name].values * -directions[i]
+
+    mask = is_pareto_efficient(costs)
+    pareto_runs = [row for i, (_, row) in enumerate(res.iterrows())
+                   if mask[i]]
+    print(f'Found {len(pareto_runs)} Pareto-optimal runs out of '
+          f'{len(res)} total runs')
+    return pareto_runs
+
+
+def process_benchmark_dataset(composite, config, benchmark, dataset,
+                              evaluators, method=None, evaluate_all=False):
+    print(f'\nProcessing benchmark {benchmark}, dataset {dataset}')
+    dataset_cfg = config['benchmarks'][benchmark]['datasets']
+    training_cfg = config['training']
+    train_eval_metrics = [
+        ev.metrics[0]
+        for ev in get_evaluators(config['bo_config']['evaluation_metric'])]
+    print(f'Using training evaluation metrics: '
+          f'{[m.get_name() for m in train_eval_metrics]}')
+
+    dataset_id, dataset_ood = prepare_datasets(dataset_cfg, dataset,
+                                               training_cfg)
+
+    results = []
+    all_methods = list(composite.get_method_names(benchmark, dataset))
+    methods = [method] if method and method in all_methods else all_methods
+    if method and method not in all_methods:
+        print(f"Warning: Method '{method}' not found for "
+              f'{benchmark}/{dataset}. Available methods: {all_methods}')
+
+    for current_method in methods:
+        print(f'\nEvaluating method: {current_method}')
+        inst = get_latest_finished_trial(composite, benchmark, dataset,
+                                         current_method)
+        runs = find_all_training_runs(inst) if evaluate_all \
+            else find_pareto_optimal_runs(inst, train_eval_metrics)
+
+        for run in runs:
+            trial = Path(run['log_path']).stem
+            print(f'Evaluating trial: {trial}')
+            trial_inst = composite.get_results_instance(
+                benchmark, dataset, current_method, trial)
+            model = load_model(trial_inst.get_model_file())
+            model.to(np.asarray(dataset_id.input).dtype)
+            model.eval()
+            metric_results = evaluate_model_metrics(model, dataset_id,
+                                                    dataset_ood, evaluators)
+            for metric_name, objective_name, value in metric_results:
+                results.append([benchmark, dataset, current_method, trial,
+                                metric_name, objective_name, value])
+    return results
+
+
+@click.command('Post-hoc application of metrics to results')
+@click.option('--results_dir', type=click.Path(exists=True),
+              help='The directory containing the results')
+@click.option('--config_file', type=click.Path(exists=True),
+              help='The config file containing the metrics to evaluate')
+@click.option('--benchmark', type=str, required=False,
+              help='The benchmark to evaluate (optional)')
+@click.option('--dataset', type=str, required=False,
+              help='The dataset to evaluate (optional)')
+@click.option('--method', type=str, required=False,
+              help='The UE method to evaluate (optional)')
+@click.option('--output', type=str, default='evaluated_metrics.csv',
+              help='The output file name')
+@click.option('--evaluate_all', is_flag=True,
+              help='Evaluate all models instead of just the best one')
+def evaluate_metrics(results_dir, config_file, benchmark, dataset, method,
+                     output, evaluate_all):
+    composite = ResultsComposite(results_dir)
+    with open(config_file) as f:
+        config = yaml.safe_load(f)
+
+    evaluators = get_evaluator(config['evaluation']['metrics'])
+    pairs = get_benchmark_dataset_pairs(composite, benchmark, dataset)
+    if not pairs:
+        raise ValueError('No valid benchmark-dataset pairs found to evaluate')
+
+    columns = ['benchmark', 'dataset', 'method', 'trial', 'metric',
+               'objective', 'value']
+    rows = []
+    for current_benchmark, current_dataset in pairs:
+        rows.extend(process_benchmark_dataset(
+            composite, config, current_benchmark, current_dataset,
+            evaluators, method, evaluate_all))
+
+    pd.DataFrame(rows, columns=columns).to_csv(output, index=False)
+    print(f'\nResults saved to {output}')
+
+
+if __name__ == '__main__':
+    evaluate_metrics()

@@ -1,0 +1,136 @@
+"""North-star benchmark: UQ forward passes per second per chip.
+
+Measures the flagship workload from BASELINE.md — an 8-member deep-ensemble
+MLP surrogate (binomial_options shape: 5 inputs, 7×128 BatchNorm MLP)
+producing prediction + uncertainty for a large evaluation batch — using the
+reference's own timing protocol (5 warmup + 10 timed passes, device-
+synchronised; reference ``examples/bo_driven/bo.py:229-254``).
+
+``vs_baseline`` is the speedup over the reference implementation measured
+in-process: the same ensemble in torch (CPU, the reference's default
+non-vectorized member loop, ``nnueehcs/models.py:99-108``), scaled from a
+smaller batch (throughput is batch-size invariant for this model on CPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+
+    model = _flagship(num_models=num_models)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
+                    jnp.float32)
+
+    fn = jax.jit(lambda p, s, xx:
+                 model.eval_output(p, s, xx, None, return_ue=True))
+    args = (model.params, model.state, x)
+
+    def sync(out):
+        # on tunneled platforms block_until_ready can return optimistically
+        # before any host transfer has happened; a tiny host fetch of the
+        # result is the only reliable completion barrier
+        np.asarray(out[0][:1])
+        np.asarray(out[1][:1])
+
+    for _ in range(warmup):
+        sync(fn(*args))
+    # group timing: N dispatches bracketed by host fetches — measures
+    # steady-state pipelined throughput
+    start = time.perf_counter()
+    out = None
+    for _ in range(trials):
+        out = fn(*args)
+    sync(out)
+    mean_t = (time.perf_counter() - start) / trials
+    return batch / mean_t, mean_t
+
+
+def torch_reference_throughput(batch: int, num_models: int, warmup: int,
+                               trials: int):
+    """The reference's default eval path: a python loop over torch member
+    modules on CPU, mean/std over stacked outputs."""
+    import torch
+
+    torch.manual_seed(0)
+
+    def make_member():
+        layers = [torch.nn.Linear(5, 128), torch.nn.BatchNorm1d(128),
+                  torch.nn.ReLU()]
+        for _ in range(5):
+            layers += [torch.nn.Linear(128, 128),
+                       torch.nn.BatchNorm1d(128), torch.nn.ReLU()]
+        layers.append(torch.nn.Linear(128, 1))
+        return torch.nn.Sequential(*layers)
+
+    members = [make_member().eval() for _ in range(num_models)]
+    x = torch.randn(batch, 5)
+
+    def forward():
+        outs = torch.stack([m(x) for m in members])
+        return outs.mean(0), outs.std(0)
+
+    with torch.no_grad():
+        for _ in range(warmup):
+            forward()
+        times = []
+        for _ in range(trials):
+            start = time.perf_counter()
+            forward()
+            times.append(time.perf_counter() - start)
+    mean_t = float(np.mean(times))
+    return batch / mean_t, mean_t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='small shapes for a fast smoke run')
+    ap.add_argument('--batch', type=int, default=None)
+    ap.add_argument('--num-models', type=int, default=8)
+    ap.add_argument('--skip-baseline', action='store_true')
+    args = ap.parse_args()
+
+    if args.quick:
+        batch, torch_batch, warmup, trials = 8192, 2048, 2, 3
+    else:
+        batch, torch_batch, warmup, trials = 262144, 16384, 5, 10
+    if args.batch:
+        batch = args.batch
+
+    tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials)
+    print(f'# jax ue pass: batch={batch} members={args.num_models} '
+          f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s',
+          file=sys.stderr)
+
+    vs_baseline = None
+    if not args.skip_baseline:
+        try:
+            ref_tp, ref_t = torch_reference_throughput(
+                torch_batch, args.num_models, max(1, warmup // 2),
+                max(3, trials // 2))
+            print(f'# torch-cpu reference: batch={torch_batch} '
+                  f'mean_time={ref_t * 1e3:.2f}ms '
+                  f'throughput={ref_tp:,.0f}/s', file=sys.stderr)
+            vs_baseline = tpu_tp / ref_tp
+        except Exception as e:   # torch unavailable → report raw number
+            print(f'# baseline unavailable: {e}', file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'uq_ensemble_ue_throughput',
+        'value': round(tpu_tp, 1),
+        'unit': 'samples/s',
+        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -59,6 +59,9 @@ class WrappedModelBase:
     """Base for all UQ model wrappers."""
 
     uq_method = 'mlp'
+    # True when params carry a leading stacked-member axis (ensembles) that
+    # should shard over a 'member' mesh axis.
+    member_stacked = False
 
     def __init__(self, net: Network, train_config=None, validation_config=None):
         self.net = net
@@ -72,6 +75,7 @@ class WrappedModelBase:
         self.dtype = jnp.float32
         self._jit_cache = {}
         self._cache_version = 0
+        self._mesh = None
 
     # ------------------------------------------------------------------ config
     def set_train_config(self, train_config):
@@ -135,6 +139,25 @@ class WrappedModelBase:
                 f'{type(self).__name__} does not define an uncertainty estimate')
         return y
 
+    # ------------------------------------------------------------- sharding
+    def attach_mesh(self, mesh):
+        """Place this model on a device mesh: params replicated (or
+        member-sharded for stacked ensembles) and evaluation batches
+        row-sharded over the 'dp' axis."""
+        from ..parallel.mesh import shard_params
+        self._mesh = mesh
+        if self.params is not None:
+            self.params = shard_params(self.params, mesh, self.member_stacked)
+            self.state = shard_params(self.state, mesh, self.member_stacked)
+        self.invalidate_cache()
+        return self
+
+    def _place_eval_batch(self, x):
+        if self._mesh is None:
+            return x
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(x, batch_sharding(self._mesh))
+
     # --------------------------------------------------------- stateful sugar
     def _eval_rng(self):
         return None
@@ -165,6 +188,7 @@ class WrappedModelBase:
             x_padded = jnp.concatenate([x, pad], axis=0)
         else:
             x_padded = x
+        x_padded = self._place_eval_batch(x_padded)
         out = fn(self.params, self.state, x_padded, self._eval_rng())
 
         def trim(o):

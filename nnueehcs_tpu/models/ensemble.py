@@ -26,6 +26,7 @@ from .base import WrappedModelBase, _std_unbiased
 
 class EnsembleModel(WrappedModelBase):
     uq_method = 'ensemble'
+    member_stacked = True
 
     def __init__(self, net, num_models: int, vectorize: bool = True, **kwargs):
         super().__init__(net, **kwargs)

@@ -1,0 +1,8 @@
+"""Mesh sharding: dp batch sharding + member-parallel ensembles."""
+from .mesh import (make_mesh, batch_spec, batch_sharding, replicated,
+                   member_sharding, shard_params, constrain_batch,
+                   pad_to_multiple)
+
+__all__ = ['make_mesh', 'batch_spec', 'batch_sharding', 'replicated',
+           'member_sharding', 'shard_params', 'constrain_batch',
+           'pad_to_multiple']

@@ -102,6 +102,10 @@ class Trainer:
         self.overfit_batches = cfg.get('overfit_batches', 0)
         self.accelerator = cfg.get('accelerator', 'auto')
         self.seed = cfg.get('seed', 42)
+        # mesh: None (single device), 'auto' (all devices on dp), or an
+        # {axis: size} dict like {'dp': 4, 'member': 2}
+        self.mesh_config = cfg.get('mesh', None)
+        self.mesh = None
 
         self.should_stop = False
         self.current_epoch = 0
@@ -172,6 +176,12 @@ class Trainer:
             model.init(init_key, x_train.shape[1:])
         model.to(dtype)
 
+        # ----- optional mesh sharding (dp over batch, member over ensembles)
+        if self.mesh_config:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(self.mesh_config)
+            model.attach_mesh(self.mesh)
+
         # ----- optimizer: clip → adam moments → weight decay; the learning
         # rate is applied outside the transform so plateau drops are a
         # runtime scalar, not a recompile.
@@ -187,8 +197,15 @@ class Trainer:
         opt_state = tx.init(model.params)
 
         # ----- jitted programs
+        mesh = self.mesh
+
         def train_step(params, state, opt_state, idx, lr, rng):
-            batch = (x_train[idx], y_train[idx])
+            xb, yb = x_train[idx], y_train[idx]
+            if mesh is not None:
+                from ..parallel.mesh import constrain_batch
+                xb = constrain_batch(xb, mesh)
+                yb = constrain_batch(yb, mesh)
+            batch = (xb, yb)
             (loss, new_state), grads = jax.value_and_grad(
                 model.training_loss, has_aux=True)(params, state, batch, rng)
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -1,9 +1,20 @@
 """Test environment: force CPU with 8 virtual devices so mesh/sharding tests
-run anywhere. Must run before jax is imported."""
+run anywhere.
+
+Note: this environment pre-imports jax at interpreter startup (site hook)
+with JAX_PLATFORMS pinned to the TPU plugin, so setting env vars here is too
+late for the platform choice — update jax.config directly.  XLA_FLAGS is
+still read lazily at first backend initialisation, so the virtual-device
+flag works as long as no jax computation ran before this conftest.
+"""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

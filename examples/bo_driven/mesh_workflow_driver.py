@@ -1,0 +1,78 @@
+"""Concurrent BO trials across mesh slices — the TPU-native replacement for
+the reference's one-GPU-per-SLURM-task fan-out.
+
+One process owns the whole chip mesh; each (benchmark × uq_method ×
+dataset-split) cell is dispatched to a disjoint slice of devices and runs
+its full restartable BO loop there.  JAX releases the GIL during compiled
+execution, so slices genuinely overlap.
+
+    python mesh_workflow_driver.py --config config.yaml \
+        --output results --slices 4
+"""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+import os
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from itertools import product
+
+import click
+import yaml
+
+
+@click.command()
+@click.option('--config', default='./config.yaml')
+@click.option('--output', default='workflow_output')
+@click.option('--slices', default=None, type=int,
+              help='Number of mesh slices (= concurrent cells). '
+                   'Defaults to the device count.')
+@click.option('--retries', default=3, type=int)
+def main(config, output, slices, retries):
+    import jax
+    from nnueehcs_tpu.driver import run_bo_experiment
+
+    with open(config) as f:
+        config_data = yaml.safe_load(f)
+
+    devices = jax.devices()
+    n_slices = slices or len(devices)
+    n_slices = min(n_slices, len(devices))
+    per_slice = len(devices) // n_slices
+    device_slices = [devices[i * per_slice:(i + 1) * per_slice]
+                     for i in range(n_slices)]
+    print(f'{len(devices)} devices -> {n_slices} slices of {per_slice}')
+
+    benches = list(config_data['benchmarks'].keys())
+    uq_methods = list(config_data['uq_methods'].keys())
+    cells = list(product(benches, uq_methods, ['tails', 'gaps']))
+
+    def run_cell(slice_idx, bench, method, dset):
+        devs = device_slices[slice_idx]
+        for attempt in range(retries + 1):
+            try:
+                run_bo_experiment(bench, method, config_data, dset, output,
+                                  restart=True, devices=devs)
+                return (bench, method, dset, 'OK')
+            except Exception as e:
+                print(f'{bench}/{method}/{dset} attempt {attempt} failed: {e}')
+                traceback.print_exc()
+        return (bench, method, dset, 'FAILED')
+
+    results = []
+    with ThreadPoolExecutor(max_workers=n_slices) as pool:
+        futures = []
+        for i, (bench, method, dset) in enumerate(cells):
+            futures.append(pool.submit(run_cell, i % n_slices, bench,
+                                       method, dset))
+        for fut in futures:
+            results.append(fut.result())
+
+    for bench, method, dset, status in results:
+        print(f'{bench}/{method}/{dset}: {status}')
+    if any(r[3] != 'OK' for r in results):
+        _sys.exit(1)
+
+
+if __name__ == '__main__':
+    main()

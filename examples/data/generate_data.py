@@ -156,28 +156,43 @@ def build_config(paths: dict) -> dict:
     }
 
 
+def build_kde_config(paths: dict) -> dict:
+    """KDE/kNN-KDE experiment variant (reference ``config_kde.yaml``:
+    short training, no scaling, density-method search spaces only)."""
+    cfg = build_config(paths)
+    cfg['trainer']['max_epochs'] = 3
+    cfg['training']['scaling'] = False
+    cfg['uq_methods'] = {k: v for k, v in cfg['uq_methods'].items()
+                         if k in ('kde', 'knn_kde')}
+    return cfg
+
+
 @click.command()
 @click.option('--data-dir', default='examples/data',
               help='Directory to write benchmark files into')
 @click.option('--write-config', default=None, type=click.Path(),
               help='Optional path to emit a ready-to-run config.yaml')
+@click.option('--write-kde-config', default=None, type=click.Path(),
+              help='Optional path to emit the KDE-variant config')
 @click.option('--size', default=None, type=int,
               help='Override row count for every benchmark')
 @click.option('--steps', default=64, type=int,
               help='Binomial-tree depth for the options kernel')
-def main(data_dir, write_config, size, steps):
+def main(data_dir, write_config, write_kde_config, size, steps):
     sizes = {}
     if size:
         sizes = {name: size for name in ARCH_INPUTS}
     paths = generate_benchmark_files(data_dir, sizes=sizes, steps=steps)
     for name, path in paths.items():
         print(f'{name}: {path}')
-    if write_config:
-        cfg = build_config(paths)
-        os.makedirs(os.path.dirname(write_config) or '.', exist_ok=True)
-        with open(write_config, 'w') as f:
-            yaml.safe_dump(cfg, f, sort_keys=False)
-        print(f'config: {write_config}')
+    for target, builder in ((write_config, build_config),
+                            (write_kde_config, build_kde_config)):
+        if target:
+            cfg = builder(paths)
+            os.makedirs(os.path.dirname(target) or '.', exist_ok=True)
+            with open(target, 'w') as f:
+                yaml.safe_dump(cfg, f, sort_keys=False)
+            print(f'config: {target}')
 
 
 if __name__ == '__main__':

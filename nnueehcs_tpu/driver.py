@@ -203,6 +203,7 @@ def evaluate(model, id_data, ood_data, evaluator,
              warmup: int = 5, trials: int = 10) -> dict:
     """Timed UE passes over ID / OOD / combined inputs + metric evaluation
     (reference ``bo.py:205-280``). Timing uses ``block_until_ready``."""
+    from .utils.timing import device_sync, timed_passes
     model.eval()
     id_ipt = np.asarray(id_data.input)
     id_opt = np.asarray(id_data.output)
@@ -210,26 +211,17 @@ def evaluate(model, id_data, ood_data, evaluator,
     ood_opt = np.asarray(ood_data.output)
 
     for _ in range(warmup):
-        jax.block_until_ready(model(id_ipt, return_ue=True))
+        device_sync(model(id_ipt, return_ue=True))
 
     combined = np.concatenate((id_ipt, ood_ipt))
-    combined_times = []
-    for _ in range(trials):
-        start = time.time()
-        jax.block_until_ready(model(combined, return_ue=True))
-        combined_times.append(time.time() - start)
-
-    id_times = []
-    for _ in range(trials):
-        start = time.time()
-        id_preds, id_ue = jax.block_until_ready(model(id_ipt, return_ue=True))
-        id_times.append(time.time() - start)
-
-    ood_times = []
-    for _ in range(trials):
-        start = time.time()
-        ood_preds, ood_ue = jax.block_until_ready(model(ood_ipt, return_ue=True))
-        ood_times.append(time.time() - start)
+    combined_times = list(timed_passes(
+        lambda: model(combined, return_ue=True), 1, trials))
+    id_times = list(timed_passes(
+        lambda: model(id_ipt, return_ue=True), 0, trials))
+    ood_times = list(timed_passes(
+        lambda: model(ood_ipt, return_ue=True), 0, trials))
+    id_preds, id_ue = device_sync(model(id_ipt, return_ue=True))
+    ood_preds, ood_ue = device_sync(model(ood_ipt, return_ue=True))
 
     id_loss = float(np.mean((np.asarray(id_preds) - id_opt) ** 2))
     ood_loss = float(np.mean((np.asarray(ood_preds) - ood_opt) ** 2))
@@ -272,10 +264,20 @@ def get_restart(output_dir, name, dataset, uq_method):
 
 
 def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
-                      restart: bool = False, max_train_time=None) -> dict:
+                      restart: bool = False, max_train_time=None,
+                      devices=None) -> dict:
     """The full BO loop for one (benchmark, uq_method, dataset-split) cell
-    (reference ``bo.py:313-510``). Returns the trial-results dict."""
-    trainer_cfg = config['trainer']
+    (reference ``bo.py:313-510``). Returns the trial-results dict.
+
+    ``devices`` pins the trial to an explicit device slice so multiple
+    cells can run concurrently across disjoint slices of one mesh (the
+    TPU-native replacement for the reference's one-GPU-per-SLURM-task
+    fan-out).
+    """
+    trainer_cfg = dict(config['trainer'])
+    if devices is not None:
+        trainer_cfg['devices'] = list(devices)
+        trainer_cfg.setdefault('mesh', {'dp': len(devices)})
     training_cfg = dict(config['training'])
     model_cfg = config['benchmarks'][benchmark]['model']
     dataset_cfg = config['benchmarks'][benchmark]['datasets']
@@ -349,6 +351,13 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
         training_time = time.time() - train_start
 
         model = load_model(f'{trainer.logger.log_dir}/model.pth')
+        if devices is not None:
+            if len(devices) > 1:
+                from .parallel.mesh import make_mesh
+                model.attach_mesh(make_mesh({'dp': len(devices)},
+                                            devices=devices))
+            else:
+                model.to(devices[0])
 
         dset_id = get_dataset(dataset_cfg, dataset)
         dset_ood = get_dataset(dataset_cfg, dataset, is_ood=True)

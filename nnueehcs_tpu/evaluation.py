@@ -175,8 +175,8 @@ def auroc_score(y_true, y_score):
 
 
 def _block(x):
-    return jax.block_until_ready(x) if hasattr(x, 'block_until_ready') or \
-        isinstance(x, (tuple, list)) else x
+    from .utils.timing import device_sync
+    return device_sync(x)
 
 
 # ---------------------------------------------------------------------------
@@ -438,16 +438,12 @@ class RuntimeEvaluation(EvaluationMetric):
 
     def _evaluate(self, model, id_data, ood_data, eval_functor: Callable,
                   return_raw: bool = False) -> dict:
+        from .utils.timing import timed_passes
         model.eval()
-        runtimes = np.zeros(self.num_trials)
         data_combined = np.concatenate([np.asarray(id_data[0]),
                                         np.asarray(ood_data[0])])
-        for _ in range(self.num_warmup):
-            _block(eval_functor(model, data_combined))
-        for trial in range(self.num_trials):
-            start = time.time()
-            _block(eval_functor(model, data_combined))
-            runtimes[trial] = time.time() - start
+        runtimes = timed_passes(lambda: eval_functor(model, data_combined),
+                                self.num_warmup, self.num_trials)
         result = {'runtime': float(np.mean(runtimes)),
                   'runtime_std': float(np.std(runtimes))}
         if return_raw:

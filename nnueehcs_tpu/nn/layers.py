@@ -178,6 +178,48 @@ class BatchNorm1d(Layer):
 
 
 @dataclasses.dataclass(frozen=True)
+class BatchNorm2d(Layer):
+    """Per-channel batch norm over NCHW feature maps (torch semantics)."""
+    num_features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    affine: bool = True
+
+    def init(self, key, in_shape):
+        params = {}
+        if self.affine:
+            params = {'scale': jnp.ones((self.num_features,), jnp.float32),
+                      'bias': jnp.zeros((self.num_features,), jnp.float32)}
+        state = {'mean': jnp.zeros((self.num_features,), jnp.float32),
+                 'var': jnp.ones((self.num_features,), jnp.float32)}
+        return params, state, in_shape
+
+    def apply(self, params, state, x, mode: Mode, rng=None):
+        # channel axis is -3 in NCHW (works for stacked leading axes too)
+        axes = tuple(i for i in range(x.ndim) if i != x.ndim - 3)
+        if mode.batch_stats:
+            batch_mean = jnp.mean(x, axis=axes)
+            batch_var = jnp.var(x, axis=axes)
+            n = x.size // x.shape[-3]
+            unbiased = batch_var * (n / max(n - 1, 1))
+            m = self.momentum
+            new_state = {
+                'mean': (1 - m) * state['mean'] + m * batch_mean,
+                'var': (1 - m) * state['var'] + m * unbiased,
+            }
+            mean, var = batch_mean, batch_var
+        else:
+            new_state = state
+            mean, var = state['mean'], state['var']
+        shape = (-1,) + (1,) * 2
+        inv = jax.lax.rsqrt(var.reshape(shape) + self.eps)
+        y = (x - mean.reshape(shape)) * inv
+        if self.affine:
+            y = y * params['scale'].reshape(shape) + params['bias'].reshape(shape)
+        return y.astype(x.dtype), new_state
+
+
+@dataclasses.dataclass(frozen=True)
 class Dropout(Layer):
     p: float = 0.5
     rng_streams = 1
@@ -319,6 +361,7 @@ LAYER_REGISTRY = {
     'Linear': Linear,
     'Conv2d': Conv2d,
     'BatchNorm1d': BatchNorm1d,
+    'BatchNorm2d': BatchNorm2d,
     'Dropout': Dropout,
     'ReLU': ReLU,
     'Tanh': Tanh,

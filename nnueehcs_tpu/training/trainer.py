@@ -106,6 +106,9 @@ class Trainer:
         # {axis: size} dict like {'dp': 4, 'member': 2}
         self.mesh_config = cfg.get('mesh', None)
         self.mesh = None
+        # devices: an explicit device list (a mesh slice) this trainer may
+        # use — enables concurrent trials on disjoint slices of one mesh
+        self.devices = cfg.get('devices', None)
 
         self.should_stop = False
         self.current_epoch = 0
@@ -125,6 +128,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
     def _device(self):
+        if self.devices:
+            return self.devices[0]
         if self.accelerator == 'cpu':
             return jax.devices('cpu')[0]
         return jax.devices()[0]
@@ -179,7 +184,7 @@ class Trainer:
         # ----- optional mesh sharding (dp over batch, member over ensembles)
         if self.mesh_config:
             from ..parallel.mesh import make_mesh
-            self.mesh = make_mesh(self.mesh_config)
+            self.mesh = make_mesh(self.mesh_config, devices=self.devices)
             model.attach_mesh(self.mesh)
 
         # ----- optimizer: clip → adam moments → weight decay; the learning

@@ -17,3 +17,10 @@ from . import model_builder
 from . import models
 from . import training
 from . import ops
+from . import evaluation
+from . import classification
+from . import utility
+from . import bo
+from . import parallel
+from . import datagen
+from . import utils

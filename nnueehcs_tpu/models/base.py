@@ -51,8 +51,9 @@ def _bucket_size(n: int) -> int:
 
 
 def _std_unbiased(x, axis=0):
-    """torch.Tensor.std default is the *unbiased* (ddof=1) estimator."""
-    return jnp.std(x, axis=axis, ddof=1)
+    """torch.Tensor.std default is the *unbiased* (ddof=1) estimator.
+    Computed in f32 so bf16 compute modes keep accurate UE statistics."""
+    return jnp.std(x.astype(jnp.float32), axis=axis, ddof=1)
 
 
 class WrappedModelBase:
@@ -127,9 +128,12 @@ class WrappedModelBase:
         return self.loss(out, self.train_targets(y)), new_state
 
     def validation_loss(self, params, state, batch, rng):
+        # note: the reference's validation_step computes the *training*
+        # loss on validation batches (``self.loss``, reference
+        # ``models.py:65-70``); ``val_loss`` exists but is unused there.
         x, y = batch
         out = self.eval_output(params, state, x, rng, return_ue=False)
-        return self.val_loss(out, y)
+        return self.loss(out, y)
 
     # ------------------------------------------------------------- pure eval
     def eval_output(self, params, state, x, rng, return_ue: bool = False):

@@ -116,7 +116,7 @@ class DeltaUQMLP(WrappedModelBase):
         out = self.eval_output(params, state, x, rng, return_ue=False)
         if out.shape[0] == 2 * y.shape[0]:
             y = jnp.concatenate([y, y], axis=0)
-        return self.val_loss(out, y)
+        return self.loss(out, y)
 
     # --------------------------------------------------------------- chunking
     def __call__(self, x, return_ue: bool = False):

@@ -87,10 +87,12 @@ class Linear(Layer):
         return params, {}, in_shape[:-1] + (self.out_features,)
 
     def apply(self, params, state, x, mode: Mode, rng=None):
-        y = jnp.dot(x, params['w'], preferred_element_type=x.dtype)
+        # accumulate in f32 regardless of operand dtype (canonical TPU
+        # pattern: bf16 operands on the MXU, f32 accumulation)
+        y = jnp.dot(x, params['w'], preferred_element_type=jnp.float32)
         if self.bias:
-            y = y + params['b']
-        return y, state
+            y = y + params['b'].astype(jnp.float32)
+        return y.astype(x.dtype), state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,8 +157,9 @@ class BatchNorm1d(Layer):
     def apply(self, params, state, x, mode: Mode, rng=None):
         if mode.batch_stats:
             axes = tuple(i for i in range(x.ndim) if i != x.ndim - 1)
-            batch_mean = jnp.mean(x, axis=axes)
-            batch_var = jnp.var(x, axis=axes)
+            xf = x.astype(jnp.float32)
+            batch_mean = jnp.mean(xf, axis=axes)
+            batch_var = jnp.var(xf, axis=axes)
             n = x.size // x.shape[-1]
             # torch tracks the *unbiased* variance in running stats while
             # normalising with the biased one.

@@ -21,17 +21,43 @@ import time
 import numpy as np
 
 
-def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int):
+def _build_model(workload: str, num_models: int):
+    from __graft_entry__ import _flagship
+    if workload == 'ensemble':
+        return _flagship(num_models=num_models)
+    from nnueehcs_tpu.model_builder import (MCDropoutModelBuilder,
+                                            KDEModelBuilder)
+    arch = [{'Linear': {'args': [5, 128]}},
+            {'BatchNorm1d': {'args': [128]}}, {'ReLU': {}}]
+    for _ in range(5):
+        arch += [{'Linear': {'args': [128, 128]}},
+                 {'BatchNorm1d': {'args': [128]}}, {'ReLU': {}}]
+    arch.append({'Linear': {'args': [128, 1]}})
+    if workload == 'mc_dropout':
+        return MCDropoutModelBuilder(
+            arch, {'num_samples': 128, 'dropout_percent': 0.1},
+            train_config={'loss': 'l1_loss'}).build()
+    if workload == 'kde':
+        model = KDEModelBuilder(arch, {'rtol': 1000},
+                                train_config={'loss': 'l1_loss'}).build()
+        fit = np.random.default_rng(1).normal(size=(16384, 5)).astype(np.float32)
+        model.fit_kde(fit)
+        return model
+    raise ValueError(workload)
+
+
+def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
+                      workload: str = 'ensemble'):
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _flagship
 
-    model = _flagship(num_models=num_models)
+    model = _build_model(workload, num_models)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
     fn = jax.jit(lambda p, s, xx:
-                 model.eval_output(p, s, xx, None, return_ue=True))
+                 model.eval_output(p, s, xx, model._eval_rng(),
+                                   return_ue=True))
     args = (model.params, model.state, x)
 
     def sync(out):
@@ -97,6 +123,9 @@ def main():
     ap.add_argument('--batch', type=int, default=None)
     ap.add_argument('--num-models', type=int, default=8)
     ap.add_argument('--skip-baseline', action='store_true')
+    ap.add_argument('--workload', default='ensemble',
+                    choices=['ensemble', 'mc_dropout', 'kde'],
+                    help='which UQ forward to benchmark (headline: ensemble)')
     args = ap.parse_args()
 
     if args.quick:
@@ -106,12 +135,16 @@ def main():
     if args.batch:
         batch = args.batch
 
-    tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials)
-    print(f'# jax ue pass: batch={batch} members={args.num_models} '
+    tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
+                                      workload=args.workload)
+    print(f'# jax {args.workload} ue pass: batch={batch} '
+          f'members={args.num_models} '
           f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s',
           file=sys.stderr)
 
     vs_baseline = None
+    if args.workload != 'ensemble':
+        args.skip_baseline = True   # torch baseline models the ensemble loop
     if not args.skip_baseline:
         try:
             ref_tp, ref_t = torch_reference_throughput(
@@ -125,7 +158,7 @@ def main():
             print(f'# baseline unavailable: {e}', file=sys.stderr)
 
     print(json.dumps({
-        'metric': 'uq_ensemble_ue_throughput',
+        'metric': f'uq_{args.workload}_ue_throughput',
         'value': round(tpu_tp, 1),
         'unit': 'samples/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,

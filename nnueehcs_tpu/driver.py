@@ -37,6 +37,30 @@ from .model_builder import (EnsembleModelBuilder, KDEModelBuilder,
 from .training import Trainer, ModelSavingCallback, EarlyStopping, DataLoader, load_model
 
 
+_COMPILE_CACHE_READY = False
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache: successive BO trials (and restarted
+    processes) re-use compiled programs for recurring shape signatures
+    instead of recompiling every trial (SURVEY §7 'cache by shape
+    signature')."""
+    global _COMPILE_CACHE_READY
+    if _COMPILE_CACHE_READY:
+        return
+    import os
+    try:
+        cache_dir = cache_dir or os.path.join(
+            os.path.expanduser('~'), '.cache', 'nnueehcs_tpu_xla')
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+        _COMPILE_CACHE_READY = True
+    except Exception as e:   # cache is an optimisation, never fatal
+        print(f'compilation cache unavailable: {e}')
+
+
 class OutputManager:
     """Per-trial output directory manager + restart-index scanner."""
 
@@ -274,6 +298,7 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
     TPU-native replacement for the reference's one-GPU-per-SLURM-task
     fan-out).
     """
+    enable_compilation_cache()
     trainer_cfg = dict(config['trainer'])
     if devices is not None:
         trainer_cfg['devices'] = list(devices)

@@ -121,6 +121,11 @@ def build_config(paths: dict) -> dict:
             'knn_kde': {'parameter_space': [
                 {'name': 'k', 'type': 'range', 'bounds': [1, 800]},
             ]},
+            # beyond-reference: heteroscedastic mean-variance estimation
+            'mve': {'parameter_space': [
+                {'name': 'min_variance', 'type': 'range',
+                 'bounds': [1e-7, 1e-3], 'log_scale': True},
+            ]},
         },
         'bo_config': {
             'trials': 50,

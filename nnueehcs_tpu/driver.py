@@ -33,7 +33,8 @@ from .data_utils import get_dataset, prepare_dataset_for_use
 from .evaluation import UncertaintyEstimate, get_uncertainty_evaluator
 from .model_builder import (EnsembleModelBuilder, KDEModelBuilder,
                             KNNKDEModelBuilder, DeltaUQMLPModelBuilder,
-                            PAGERModelBuilder, MCDropoutModelBuilder)
+                            PAGERModelBuilder, MCDropoutModelBuilder,
+                            MVEModelBuilder)
 from .training import Trainer, ModelSavingCallback, EarlyStopping, DataLoader, load_model
 
 
@@ -49,6 +50,11 @@ def enable_compilation_cache(cache_dir: str = None):
     if _COMPILE_CACHE_READY:
         return
     import os
+    if jax.default_backend() == 'cpu':
+        # CPU AOT cache entries are machine-feature specific and can be
+        # poisoned across hosts ("SIGILL" loader warnings); the cache only
+        # pays off for expensive TPU compiles anyway
+        return
     try:
         cache_dir = cache_dir or os.path.join(
             os.path.expanduser('~'), '.cache', 'nnueehcs_tpu_xla')
@@ -197,6 +203,7 @@ def get_model_builder_class(uq_method):
         'delta_uq': DeltaUQMLPModelBuilder,
         'pager': PAGERModelBuilder,
         'mc_dropout': MCDropoutModelBuilder,
+        'mve': MVEModelBuilder,
     }
     try:
         return builders[uq_method]

@@ -29,7 +29,7 @@ import jax
 
 from .nn.network import build_network, LayerBuilder
 from .models import (MLPModel, KDEMLPModel, KNNKDEMLPModel, DeltaUQMLP,
-                     EnsembleModel, PAGERMLP, MCDropoutModel)
+                     EnsembleModel, PAGERMLP, MCDropoutModel, MVEMLPModel)
 
 
 class InfoGrabbBase:
@@ -200,6 +200,31 @@ class MCDropoutModelBuilder(ModelBuilder):
         dropout_percent = self.dropout_descr['dropout_percent']
         info.get_num_samples = lambda: num_samples
         info.get_dropout_percent = lambda: dropout_percent
+
+
+class MVEModelBuilder(ModelBuilder):
+    """Mean-variance estimation: widens the last layer to emit
+    ``(mu, raw_sigma)``."""
+
+    def __init__(self, base_descr, mve_descr=None, **kwargs):
+        super().__init__(base_descr, **kwargs)
+        self.mve_descr = dict(mve_descr or {})
+        self._updated = False
+
+    def build(self):
+        self.update_info(self.get_info())
+        net = super().build()
+        return self._init_model(
+            MVEMLPModel(net, train_config=self.train_config,
+                        **self.mve_descr))
+
+    def update_info(self, info):
+        if self._updated:
+            return
+        self._updated = True
+        last = self.model_descr[-1]
+        name = list(last.keys())[0]
+        last[name]['args'][1] = 2 * last[name]['args'][1]
 
 
 class KDEModelBuilder(ModelBuilder):

@@ -6,8 +6,10 @@ from .mc_dropout import MCDropoutModel
 from .kde import KDEMLPModel, KNNKDEMLPModel
 from .delta_uq import DeltaUQMLP
 from .pager import PAGERMLP
+from .mve import MVEMLPModel
 
 MODEL_CLASSES = {
+    'MVEMLPModel': MVEMLPModel,
     'MLPModel': MLPModel,
     'EnsembleModel': EnsembleModel,
     'MCDropoutModel': MCDropoutModel,
@@ -19,4 +21,4 @@ MODEL_CLASSES = {
 
 __all__ = ['WrappedModelBase', 'MLPModel', 'EnsembleModel', 'MCDropoutModel',
            'KDEMLPModel', 'KNNKDEMLPModel', 'DeltaUQMLP', 'PAGERMLP',
-           'MODEL_CLASSES', 'training_defaults']
+           'MVEMLPModel', 'MODEL_CLASSES', 'training_defaults']

@@ -652,6 +652,70 @@ class PercentileBasedClassifier(ClassificationMetric):
         return f'percentile_classification{suffix}'
 
 
+class CalibrationEvaluation(EvaluationMetric):
+    """Regression-calibration of the uncertainty estimate on ID data
+    (beyond-reference addition; the harness metadata calls for calibration
+    metrics alongside discrimination and cost).
+
+    Treats the UE as a predictive standard deviation: for confidence levels
+    ``p`` the empirical coverage of ``|y − pred| ≤ z_p · ue`` is compared to
+    ``p``; reported as the mean absolute miscalibration over a grid
+    (``calibration_error``, 0 = perfectly calibrated) plus the 68%/95%
+    coverages.  Only meaningful for spread-type UEs (ensemble/MC/ΔUQ/MVE);
+    density scores yield large errors by construction.
+    """
+    name = 'calibration_error'
+    _LEVELS = np.linspace(0.05, 0.95, 19)
+
+    def evaluate(self, model, id_data: tuple, ood_data: tuple) -> dict:
+        model.eval()
+        preds, ue = model(id_data[0], return_ue=True)
+        preds = np.asarray(preds, np.float64).reshape(-1)
+        sigma = np.abs(np.asarray(ue, np.float64).reshape(-1)) + 1e-12
+        y = np.asarray(id_data[1], np.float64).reshape(-1)
+        z = np.abs(y - preds) / sigma
+
+        from math import erf, sqrt
+        errors = []
+        coverages = {}
+        for p in self._LEVELS:
+            # z_p with Phi(z) - Phi(-z) = p  ⇒ z_p = sqrt(2) erfinv(p)
+            z_p = _norm_two_sided_quantile(p)
+            cov = float(np.mean(z <= z_p))
+            errors.append(abs(cov - p))
+            coverages[p] = cov
+        cov68 = float(np.mean(z <= 1.0))
+        cov95 = float(np.mean(z <= 1.959963984540054))
+        return {self.name: float(np.mean(errors)),
+                'coverage_68': cov68,
+                'coverage_95': cov95}
+
+    @classmethod
+    def get_objectives(cls):
+        return [{'name': cls.name, 'type': 'minimize'}]
+
+    @classmethod
+    def get_metrics(cls):
+        return [cls.name, 'coverage_68', 'coverage_95']
+
+    def get_name(self):
+        return self.name
+
+
+def _norm_two_sided_quantile(p: float) -> float:
+    """z with P(|Z| <= z) = p for standard normal (scipy-free erfinv via
+    bisection — evaluated on a tiny grid, cost is irrelevant)."""
+    from math import erf, sqrt
+    lo, hi = 0.0, 10.0
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if erf(mid / sqrt(2.0)) < p:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
 # ---------------------------------------------------------------------------
 # aggregation + factories
 # ---------------------------------------------------------------------------
@@ -719,6 +783,8 @@ def get_evaluator(config) -> MetricEvaluator:
             metrics.append(AUROC())
         elif metric_type == 'max_memory_usage':
             metrics.append(MaxMemoryUsageEvaluation())
+        elif metric_type == 'calibration':
+            metrics.append(CalibrationEvaluation())
     return MetricEvaluator(metrics)
 
 
@@ -778,5 +844,7 @@ def _create_single_evaluator(metric_config: dict) -> EvaluationMetric:
         return PercentileScoreEvaluation.from_config(metric_config)
     elif name == 'auroc':
         return AUROC()
+    elif name == 'calibration':
+        return CalibrationEvaluation()
     else:
         raise ValueError(f'Invalid metric type: {name}')

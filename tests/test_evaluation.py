@@ -345,3 +345,46 @@ def test_extreme_scale_stability():
     small = UncertaintyEstimate(np.full(50, 1e-10))
     res = WassersteinEvaluation()._evaluate_uncertainties(big, small)
     assert np.isfinite(res['wasserstein_distance'])
+
+
+# ---------------------------------------------------------------- calibration
+def test_calibration_perfectly_calibrated():
+    """A model whose UE equals the true noise std should score ~0 error."""
+    from nnueehcs_tpu.evaluation import CalibrationEvaluation
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    sigma = 0.5
+    y = rng.normal(scale=sigma, size=(n, 1))
+
+    class CalibratedModel:
+        def eval(self):
+            return self
+
+        def __call__(self, x, return_ue=False):
+            preds = np.zeros((n, 1))
+            return (preds, np.full((n, 1), sigma)) if return_ue else preds
+
+    m = CalibratedModel()
+    res = CalibrationEvaluation().evaluate(m, (np.zeros((n, 1)), y),
+                                           (np.zeros((n, 1)), y))
+    assert res['calibration_error'] < 0.02
+    assert res['coverage_68'] == pytest.approx(0.683, abs=0.02)
+    assert res['coverage_95'] == pytest.approx(0.95, abs=0.01)
+
+    class OverconfidentModel(CalibratedModel):
+        def __call__(self, x, return_ue=False):
+            preds = np.zeros((n, 1))
+            return (preds, np.full((n, 1), sigma / 5)) if return_ue else preds
+
+    res_over = CalibrationEvaluation().evaluate(
+        OverconfidentModel(), (np.zeros((n, 1)), y), (np.zeros((n, 1)), y))
+    assert res_over['calibration_error'] > 0.3
+
+
+def test_calibration_in_factories():
+    from nnueehcs_tpu.evaluation import CalibrationEvaluation
+    ev = get_evaluator([{'name': 'calibration'}])
+    assert isinstance(ev.metrics[0], CalibrationEvaluation)
+    ev2 = get_uncertainty_evaluator('calibration')
+    assert isinstance(ev2.metrics[0], CalibrationEvaluation)

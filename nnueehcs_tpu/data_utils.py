@@ -263,11 +263,19 @@ class CharacterDelimitedDataset(DatasetCommon):
         self.input, self.output = np.asarray(ipt), np.asarray(opt)
 
     def read_file(self, path, delimiter):
-        import pandas as pd
         has_header = self.file_has_header(path, delimiter)
-        header = 0 if has_header else None
-        df = pd.read_csv(path, delimiter=delimiter, header=header)
-        return df.iloc[:, :-1].values, np.expand_dims(df.iloc[:, -1].values, -1)
+        # native fast path: multithreaded C++ parser (pandas needs its slow
+        # python engine for regex separators like '\s+')
+        from .native import load_delimited
+        data = load_delimited(path, delimiter,
+                              skip_rows=1 if has_header else 0) \
+            if isinstance(path, str) else None
+        if data is None:
+            import pandas as pd
+            header = 0 if has_header else None
+            df = pd.read_csv(path, delimiter=delimiter, header=header)
+            data = df.values
+        return data[:, :-1], np.expand_dims(data[:, -1], -1)
 
     def file_has_header(self, path, sep):
         if isinstance(path, str):

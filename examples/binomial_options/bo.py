@@ -21,7 +21,6 @@ from nnueehcs_tpu.training import (Trainer, DataLoader, EarlyStopping,
                                    ModelSavingCallback, load_model)
 from nnueehcs_tpu.data_utils import get_dataset_from_config
 from nnueehcs_tpu.evaluation import get_uncertainty_evaluator
-from nnueehcs_tpu.driver import evaluate as timed_evaluate
 
 
 def get_trainer(trainer_config, name, model):

@@ -17,7 +17,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 import click
 import pandas as pd
-import yaml
 
 from nnueehcs_tpu.utility import ResultsComposite
 

@@ -15,7 +15,7 @@ when ``log_scale``), choices by ordinal index, fixed params are excluded.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

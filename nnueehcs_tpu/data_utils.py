@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import csv
 import re
-from typing import Optional
-
 import numpy as np
 import yaml
 

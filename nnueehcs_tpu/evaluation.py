@@ -23,7 +23,7 @@ from __future__ import annotations
 import gc
 import time
 from abc import ABC, abstractmethod
-from typing import Callable, Tuple, Union
+from typing import Callable
 
 import jax
 import numpy as np

@@ -27,7 +27,7 @@ import copy
 
 import jax
 
-from .nn.network import build_network, LayerBuilder
+from .nn.network import build_network
 from .models import (MLPModel, KDEMLPModel, KNNKDEMLPModel, DeltaUQMLP,
                      EnsembleModel, PAGERMLP, MCDropoutModel, MVEMLPModel)
 

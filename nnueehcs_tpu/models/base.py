@@ -20,8 +20,6 @@ epochs 10, loss l1_loss`` (reference ``nnueehcs/models.py:13-19``).
 from __future__ import annotations
 
 import copy
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

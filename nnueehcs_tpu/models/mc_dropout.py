@@ -17,9 +17,8 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 
-from ..nn.layers import TRAIN_MODE, MC_EVAL_MODE, Dropout
+from ..nn.layers import MC_EVAL_MODE, Dropout
 from ..nn.network import Network
 from .base import WrappedModelBase, _std_unbiased
 

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.layers import EVAL_MODE
-from .base import _std_unbiased
 from .delta_uq import DeltaUQMLP, anchored_input
 from ..training.hooks import PAGERGetAnchorsHook
 

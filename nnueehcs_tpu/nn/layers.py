@@ -21,7 +21,7 @@ behaviour matches the reference's golden training tests.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,9 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .layers import LAYER_REGISTRY, Layer, Mode, EVAL_MODE
 

@@ -12,8 +12,6 @@ rather than an item iterator.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

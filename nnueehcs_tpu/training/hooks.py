@@ -8,7 +8,6 @@ same points in the loop.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 

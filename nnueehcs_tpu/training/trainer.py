@@ -25,7 +25,6 @@ from __future__ import annotations
 import math
 import os
 import time
-from functools import partial
 from typing import List, Optional
 
 import jax

@@ -10,8 +10,6 @@ snapshots.
 from __future__ import annotations
 
 import contextlib
-from typing import Optional
-
 import jax
 
 

@@ -2,7 +2,6 @@
 Black-Scholes closed form (convergence in the step limit), file writers
 round-tripping through the dataset readers."""
 import numpy as np
-import pytest
 
 from nnueehcs_tpu.datagen import (binomial_option_price,
                                   generate_binomial_options,

@@ -6,7 +6,6 @@ import os
 import numpy as np
 import pandas as pd
 import pytest
-import yaml
 
 from nnueehcs_tpu.datagen import generate_minibude, write_hdf5
 from nnueehcs_tpu.driver import run_bo_experiment, OutputManager, get_restart

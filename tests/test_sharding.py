@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from nnueehcs_tpu.model_builder import EnsembleModelBuilder, MLPModelBuilder
-from nnueehcs_tpu.parallel import make_mesh, shard_params, batch_sharding
+from nnueehcs_tpu.parallel import make_mesh, shard_params
 from nnueehcs_tpu.training import Trainer, DataLoader, ArrayDataset, EarlyStopping
 
 DESCR = [{'Linear': {'args': [3, 16]}}, {'ReLU': {}},

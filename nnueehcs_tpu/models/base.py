@@ -38,12 +38,16 @@ training_defaults = {
 
 # Eval batches are padded up to the next bucket so any input length maps to a
 # few compiled programs. Row-independent forward passes make padding safe.
+# Batches beyond _MAX_BUCKET are chunked: the member×batch×width
+# intermediates of the UQ fan-outs must fit HBM (8 members × 2^19 rows ×
+# 128 wide ≈ 2 GB of f32 activations per layer).
 _MIN_BUCKET = 256
+_MAX_BUCKET = 1 << 19
 
 
 def _bucket_size(n: int) -> int:
     b = _MIN_BUCKET
-    while b < n:
+    while b < n and b < _MAX_BUCKET:
         b *= 2
     return b
 
@@ -176,6 +180,14 @@ class WrappedModelBase:
             x = x[None]
             squeeze_batch = True
         n = x.shape[0]
+        if n > _MAX_BUCKET:
+            outputs = [self.__call__(x[i:i + _MAX_BUCKET],
+                                     return_ue=return_ue)
+                       for i in range(0, n, _MAX_BUCKET)]
+            if isinstance(outputs[0], tuple):
+                return tuple(jnp.concatenate([o[i] for o in outputs], axis=0)
+                             for i in range(len(outputs[0])))
+            return jnp.concatenate(outputs, axis=0)
         bucket = _bucket_size(n)
         key = ('eval', return_ue, bucket) + x.shape[1:]
         fn = self._jit_cache.get(key)

@@ -206,7 +206,12 @@ class WrappedModelBase:
         out = fn(self.params, self.state, x_padded, self._eval_rng())
 
         def trim(o):
-            o = o[:n]
+            if o.shape[0] == 2 * bucket:
+                # doubled-batch forward (ΔUQ's anchor-less fallback,
+                # reference ``models.py:319-322``): keep both halves
+                o = jnp.concatenate([o[:n], o[bucket:bucket + n]], axis=0)
+            else:
+                o = o[:n]
             return o[0] if squeeze_batch else o
         if isinstance(out, tuple):
             return tuple(trim(o) for o in out)

@@ -120,3 +120,19 @@ def test_kde_builders(descr):
     assert kde.rtol == pytest.approx(0.1)
     knn = KNNKDEModelBuilder(descr, {'k': 7}).build()
     assert knn.k == 7
+
+
+def test_duq_anchorless_eval_returns_doubled_batch():
+    """Reference parity: eval before anchors are set falls back to the
+    doubled training-style forward (reference models.py:319-322)."""
+    descr3 = [{'Linear': {'args': [3, 8]}}, {'ReLU': {}},
+              {'Linear': {'args': [8, 1]}}]
+    model = DeltaUQMLPModelBuilder(descr3, {'estimator': 'std',
+                                            'num_anchors': 4}).build()
+    x = np.random.randn(10, 3).astype(np.float32)
+    out = model(x)
+    assert np.asarray(out).shape == (20, 1)
+    model.anchors = x[:4]
+    pred, ue = model(x, return_ue=True)
+    assert np.asarray(pred).shape == (10, 1)
+    assert np.asarray(ue).shape == (10, 1)

@@ -46,11 +46,55 @@ def _build_model(workload: str, num_models: int):
     raise ValueError(workload)
 
 
+def jax_train_throughput(batch: int, num_models: int, warmup: int,
+                         trials: int):
+    """Training-step throughput: full fwd+bwd+AdamW update for the
+    8-member ensemble (all members simultaneously)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    model = _build_model('ensemble', num_models)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale_by_adam())
+    opt_state = tx.init(model.params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 5)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(batch, 1)), jnp.float32)
+
+    def step(params, state, opt_state, rng):
+        (loss, new_state), grads = jax.value_and_grad(
+            model.training_loss, has_aux=True)(params, state, (x, y), rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - 1e-3 * u,
+                                        params, updates)
+        return params, new_state, opt_state, loss
+
+    fn = jax.jit(step)
+    p, s, o = model.params, model.state, opt_state
+
+    def sync(out):
+        np.asarray(out[3].ravel()[:1])
+
+    for _ in range(warmup):
+        out = fn(p, s, o, jax.random.PRNGKey(0))
+        p, s, o = out[0], out[1], out[2]
+        sync(out)
+    start = time.perf_counter()
+    for i in range(trials):
+        out = fn(p, s, o, jax.random.PRNGKey(i))
+        p, s, o = out[0], out[1], out[2]
+    sync(out)
+    mean_t = (time.perf_counter() - start) / trials
+    return batch / mean_t, mean_t
+
+
 def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
                       workload: str = 'ensemble'):
     import jax
     import jax.numpy as jnp
 
+    if workload == 'ensemble_train':
+        return jax_train_throughput(batch, num_models, warmup, trials)
     model = _build_model(workload, num_models)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
@@ -124,8 +168,9 @@ def main():
     ap.add_argument('--num-models', type=int, default=8)
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--workload', default='ensemble',
-                    choices=['ensemble', 'mc_dropout', 'kde'],
-                    help='which UQ forward to benchmark (headline: ensemble)')
+                    choices=['ensemble', 'mc_dropout', 'kde',
+                             'ensemble_train'],
+                    help='which UQ workload to benchmark (headline: ensemble)')
     args = ap.parse_args()
 
     if args.quick:

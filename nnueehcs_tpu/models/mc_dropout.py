@@ -38,7 +38,14 @@ class MCDropoutModel(WrappedModelBase):
         self.num_samples = num_samples
         self.dropout_percent = dropout_percent
         self.vectorize = vectorize
-        self._sample_key = jax.random.PRNGKey(0)
+        # MC eval draws O(samples × batch × width) random bits per layer;
+        # the default threefry generator can dominate the pass. Set
+        # NNUEEHCS_TPU_PRNG_IMPL=rbg (or unsafe_rbg) for a hardware-friendly
+        # counter generator on the sampling path only.
+        import os
+        impl = os.environ.get('NNUEEHCS_TPU_PRNG_IMPL')
+        self._sample_key = jax.random.PRNGKey(0) if not impl \
+            else jax.random.key(0, impl=impl)
 
     def _eval_rng(self):
         return self._sample_key

@@ -246,6 +246,23 @@ class Trainer:
                 val_cache[token] = fn
             return fn
 
+        def get_val_scan(nb_full):
+            """All full-size validation batches as one scanned program —
+            avoids nb_val sequential dispatches per epoch."""
+            token = ('scan', nb_full, getattr(model, '_cache_version', 0))
+            fn = val_cache.get(token)
+            if fn is None:
+                def val_scan(params, state, xs, ys, rngs):
+                    def body(_, inp):
+                        xb, yb, rng = inp
+                        return None, model.validation_loss(
+                            params, state, (xb, yb), rng)
+                    _, losses = jax.lax.scan(body, None, (xs, ys, rngs))
+                    return losses
+                fn = jax.jit(val_scan)
+                val_cache[token] = fn
+            return fn
+
         # ----- hooks
         hooks: List[TrainerHook] = list(self.callbacks)
         for h in hooks:
@@ -321,7 +338,24 @@ class Trainer:
 
             val_losses, val_weights = [], []
             n_val = x_val.shape[0]
-            for b in range(nb_val):
+            nb_full = min(nb_val, n_val // val_bs)
+            if nb_full > 1:
+                xs = x_val[:nb_full * val_bs].reshape(nb_full, val_bs,
+                                                      *x_val.shape[1:])
+                ys = y_val[:nb_full * val_bs].reshape(nb_full, val_bs,
+                                                      *y_val.shape[1:])
+                rngs = jax.vmap(
+                    lambda b: jax.random.fold_in(val_key,
+                                                 epoch * 100003 + b))(
+                    jnp.arange(nb_full))
+                losses_full = get_val_scan(nb_full)(params, state, xs, ys,
+                                                    rngs)
+                val_losses.extend(np.asarray(losses_full).tolist())
+                val_weights.extend([val_bs] * nb_full)
+                start_b = nb_full
+            else:
+                start_b = 0
+            for b in range(start_b, nb_val):
                 lo = b * val_bs
                 hi = min(lo + val_bs, n_val)
                 if lo >= hi:
@@ -329,9 +363,9 @@ class Trainer:
                 xb, yb = x_val[lo:hi], y_val[lo:hi]
                 rng = jax.random.fold_in(val_key, epoch * 100003 + b)
                 fn = get_val_step(hi - lo)
-                val_losses.append(fn(params, state, xb, yb, rng))
+                val_losses.append(float(fn(params, state, xb, yb, rng)))
                 val_weights.append(hi - lo)
-            vl = float(np.average(np.asarray(jnp.stack(val_losses)),
+            vl = float(np.average(np.asarray(val_losses),
                                   weights=val_weights))
             self.callback_metrics['val_loss'] = vl
             self.logger.log_metrics({'val_loss': vl, 'epoch': epoch},

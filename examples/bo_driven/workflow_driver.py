@@ -74,7 +74,9 @@ def emit_sbatch_scripts(config_data, config_path, total, output, rundir):
             f.write(f'#SBATCH --ntasks-per-node='
                     f'{slurm.get("ntasks_per_node", 1)}\n')
             f.write(f'#SBATCH --job-name={name}\n')
-            f.write(f'{sys.executable} bo.py --benchmark {bench} '
+            bo_script = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), 'bo.py')
+            f.write(f'{sys.executable} {bo_script} --benchmark {bench} '
                     f'--config {config_path} --uq_method {uq_method} '
                     f'--dataset {dset} --output {output} --restart\n')
         scripts.append(path)

@@ -21,7 +21,6 @@ and ``get_uncertainty_evaluator`` (BO-time; str | dict | list — reference
 from __future__ import annotations
 
 import gc
-import time
 from abc import ABC, abstractmethod
 from typing import Callable
 

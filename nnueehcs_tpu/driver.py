@@ -195,18 +195,26 @@ def get_params(config):
                               config['tracking_metrics'])
 
 
+UQ_METHOD_REGISTRY = {
+    'ensemble': EnsembleModelBuilder,
+    'kde': KDEModelBuilder,
+    'knn_kde': KNNKDEModelBuilder,
+    'delta_uq': DeltaUQMLPModelBuilder,
+    'pager': PAGERModelBuilder,
+    'mc_dropout': MCDropoutModelBuilder,
+    'mve': MVEModelBuilder,
+}
+
+
+def register_uq_method(name: str, builder_cls) -> None:
+    """Plugin hook: register a custom UQ method so configs/drivers can
+    reference it by ``uq_method`` name."""
+    UQ_METHOD_REGISTRY[name] = builder_cls
+
+
 def get_model_builder_class(uq_method):
-    builders = {
-        'ensemble': EnsembleModelBuilder,
-        'kde': KDEModelBuilder,
-        'knn_kde': KNNKDEModelBuilder,
-        'delta_uq': DeltaUQMLPModelBuilder,
-        'pager': PAGERModelBuilder,
-        'mc_dropout': MCDropoutModelBuilder,
-        'mve': MVEModelBuilder,
-    }
     try:
-        return builders[uq_method]
+        return UQ_METHOD_REGISTRY[uq_method]
     except KeyError:
         raise ValueError(f'Unknown uq method {uq_method}')
 

@@ -112,3 +112,22 @@ def test_restart_index_scan(tmp_path):
     mgr = OutputManager(str(base / 'bo_trial_0'), 'b',
                         append_benchmark_name=False)
     assert mgr.get_restart_index() == 2
+
+
+def test_register_custom_uq_method():
+    from nnueehcs_tpu.driver import (register_uq_method,
+                                     get_model_builder_class,
+                                     UQ_METHOD_REGISTRY)
+    from nnueehcs_tpu.model_builder import MLPModelBuilder
+
+    class MyBuilder(MLPModelBuilder):
+        def __init__(self, base_descr, descr=None, **kw):
+            super().__init__(base_descr, **kw)
+
+    register_uq_method('my_method', MyBuilder)
+    try:
+        assert get_model_builder_class('my_method') is MyBuilder
+        with pytest.raises(ValueError):
+            get_model_builder_class('nope')
+    finally:
+        UQ_METHOD_REGISTRY.pop('my_method', None)

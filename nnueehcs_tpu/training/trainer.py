@@ -125,6 +125,27 @@ class Trainer:
     def get_default_logdir(cls, dir, name, version):
         return CSVLogger(dir, name=name, version=version).log_dir
 
+    def validate(self, model, dataloaders) -> float:
+        """Standalone validation pass: sample-weighted mean validation loss
+        over the loader (no training, no hooks)."""
+        import jax.numpy as jnp
+        dl = dataloaders
+        x = jnp.asarray(dl.inputs, model.dtype)
+        y = jnp.asarray(dl.outputs, model.dtype)
+        bs = dl.batch_size
+        n = x.shape[0]
+        rng = jax.random.PRNGKey(self.seed)
+        fn = jax.jit(lambda p, s, xb, yb, r:
+                     model.validation_loss(p, s, (xb, yb), r))
+        losses, weights = [], []
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            losses.append(float(fn(model.params, model.state,
+                                   x[lo:hi], y[lo:hi],
+                                   jax.random.fold_in(rng, lo))))
+            weights.append(hi - lo)
+        return float(np.average(losses, weights=weights))
+
     # ------------------------------------------------------------------ fit
     def _device(self):
         if self.devices:

@@ -339,6 +339,23 @@ class MaxPool2d(Layer):
 
 
 @dataclasses.dataclass(frozen=True)
+class AvgPool2d(Layer):
+    kernel_size: int
+    stride: Optional[int] = None
+    padding: int = 0
+
+    def apply(self, params, state, x, mode: Mode, rng=None):
+        k = self.kernel_size
+        s = self.stride if self.stride is not None else k
+        summed = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, 1, k, k),
+            window_strides=(1, 1, s, s),
+            padding=[(0, 0), (0, 0)] + [(self.padding, self.padding)] * 2)
+        return summed / (k * k), state
+
+
+@dataclasses.dataclass(frozen=True)
 class LayerNorm(Layer):
     normalized_shape: Any
     eps: float = 1e-5
@@ -377,6 +394,7 @@ LAYER_REGISTRY = {
     'Identity': Identity,
     'Flatten': Flatten,
     'MaxPool2d': MaxPool2d,
+    'AvgPool2d': AvgPool2d,
     'LayerNorm': LayerNorm,
 }
 

@@ -303,8 +303,7 @@ def get_restart(output_dir, name, dataset, uq_method):
 
 
 def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
-                      restart: bool = False, max_train_time=None,
-                      devices=None) -> dict:
+                      restart: bool = False, devices=None) -> dict:
     """The full BO loop for one (benchmark, uq_method, dataset-split) cell
     (reference ``bo.py:313-510``). Returns the trial-results dict.
 

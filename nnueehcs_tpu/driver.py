@@ -252,13 +252,15 @@ def evaluate(model, id_data, ood_data, evaluator,
     for _ in range(warmup):
         device_sync(model(id_ipt, return_ue=True))
 
+    # each input shape gets at least one warm pass so no timed trial
+    # includes XLA compilation of a fresh bucket
     combined = np.concatenate((id_ipt, ood_ipt))
     combined_times = list(timed_passes(
         lambda: model(combined, return_ue=True), 1, trials))
     id_times = list(timed_passes(
-        lambda: model(id_ipt, return_ue=True), 0, trials))
+        lambda: model(id_ipt, return_ue=True), 1, trials))
     ood_times = list(timed_passes(
-        lambda: model(ood_ipt, return_ue=True), 0, trials))
+        lambda: model(ood_ipt, return_ue=True), 1, trials))
     id_preds, id_ue = device_sync(model(id_ipt, return_ue=True))
     ood_preds, ood_ue = device_sync(model(ood_ipt, return_ue=True))
 

@@ -410,9 +410,11 @@ class MaxMemoryUsageEvaluation(EvaluationMetric):
         _block(model(combined, return_ue=True))
         return {'max_memory_usage': _device_peak_memory_mb()}
 
+    @classmethod
     def get_objectives(cls):
         return [{'name': cls.name, 'type': 'minimize'}]
 
+    @classmethod
     def get_metrics(cls):
         return [cls.name]
 

@@ -104,10 +104,18 @@ void parse_chunk(Chunk* chunk, char delim, long expected_cols) {
         while (p < end && *p != '\n') {
             double v;
             if (!parse_double(p, end, &v)) {
+                // strtod fallback (inf/nan/extreme exponents) via a bounded
+                // NUL-terminated buffer: the mmap'd file has no terminator
+                // and strtod would otherwise read past the mapping
+                char buf[64];
+                size_t len = static_cast<size_t>(end - p);
+                if (len > sizeof(buf) - 1) len = sizeof(buf) - 1;
+                memcpy(buf, p, len);
+                buf[len] = '\0';
                 char* next = nullptr;
-                v = strtod(p, &next);       // inf/nan/extreme exponents
-                if (next == p) { chunk->ok = false; return; }
-                p = next;
+                v = strtod(buf, &next);
+                if (next == buf) { chunk->ok = false; return; }
+                p += (next - buf);
             }
             chunk->values.push_back(v);
             ++cols;

@@ -208,7 +208,17 @@ def kde_logpdf_pallas(x, data, h: float):
 
 
 def kde_logpdf(x, data, h: float):
-    """Exact Gaussian-KDE log density of ``x`` under references ``data``."""
+    """Exact Gaussian-KDE log density of ``x`` under references ``data``.
+
+    Both sides are shifted by the reference mean before the distance
+    decomposition — distances are translation invariant, and centring keeps
+    the float32 ``x²+y²−2xy`` trick accurate for data with large offsets.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    data = jnp.asarray(data, jnp.float32)
+    center = jnp.mean(data, axis=0)
+    x = x - center
+    data = data - center
     if _use_pallas() and data.shape[0] * x.shape[0] >= (1 << 20):
         return kde_logpdf_pallas(x, data, h)
     return kde_logpdf_xla(x, data, h)
@@ -230,6 +240,11 @@ def knn_sq_dists(x, data, k: int, chunk: int = 4096,
     """
     x = jnp.asarray(x, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
+    # centring: keep the float32 distance decomposition accurate for data
+    # with large mean offsets (distances are translation invariant)
+    center = jnp.mean(data, axis=0)
+    x = x - center
+    data = data - center
     n = data.shape[0]
     k = min(k, n)
 

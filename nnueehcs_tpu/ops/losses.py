@@ -29,9 +29,11 @@ def huber_loss(pred, target, delta: float = 1.0):
 
 
 def binary_cross_entropy(pred, target):
-    eps = 1e-12
-    p = jnp.clip(pred, eps, 1 - eps)
-    return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+    # clamp the log terms (torch clamps at -100): clipping the probability
+    # by 1e-12 is a no-op in float32 near 1.0 and would yield inf loss
+    logp = jnp.clip(jnp.log(pred), -100.0, 0.0)
+    log1mp = jnp.clip(jnp.log1p(-pred), -100.0, 0.0)
+    return -jnp.mean(target * logp + (1 - target) * log1mp)
 
 
 def binary_cross_entropy_with_logits(logits, target):

@@ -182,11 +182,7 @@ class Trainer:
             x_val, y_val = x_val[:val_limit_n], y_val[:val_limit_n]
         else:
             nb_full = n // bs if train_dl.drop_last else -(-n // bs)
-            if train_dl.drop_last:
-                nb_train = _resolve_limit(self.limit_train_batches, nb_full)
-            else:
-                nb_train = _resolve_limit(self.limit_train_batches, n // bs)
-            nb_train = max(nb_train, 1)
+            nb_train = max(_resolve_limit(self.limit_train_batches, nb_full), 1)
             shuffle = train_dl.shuffle
             x_val = jnp.asarray(val_dl.inputs, dtype)
             y_val = jnp.asarray(val_dl.outputs, dtype)
@@ -307,22 +303,26 @@ class Trainer:
                     jax.random.fold_in(shuffle_key, epoch), n)
             else:
                 perm = jnp.arange(n)
-            take = min(nb_train * bs, n - (n % bs if train_dl.drop_last else 0))
-            nb_eff = take // bs
-            if nb_eff == 0:   # dataset smaller than one batch
-                nb_eff, take = 1, n
-                idx_mat = perm[:take][None, :]
-            else:
-                idx_mat = perm[:nb_eff * bs].reshape(nb_eff, bs)
+            # full-size batches feed the scan; a trailing partial batch
+            # (drop_last=False, within the batch limit) runs as one extra
+            # step so the tail rows still train (Lightning semantics)
+            full_avail = n // bs
+            full_batches = min(nb_train, full_avail)
+            tail_len = n % bs
+            has_tail = (not train_dl.drop_last) and tail_len > 0 \
+                and nb_train > full_batches
+            idx_mat = perm[:full_batches * bs].reshape(full_batches, bs)
+            tail_idx = perm[full_batches * bs:
+                            full_batches * bs + tail_len] if has_tail else None
 
             lr = jnp.asarray(base_lr * lr_scale, jnp.float32)
             epoch_rng = jax.random.fold_in(train_key, epoch)
 
             batch_hooks = [h for h in hooks
                            if _wants_batches(h, epoch)] if hooks else []
-            if batch_hooks:
+            if batch_hooks or full_batches == 0:
                 losses = []
-                for b in range(idx_mat.shape[0]):
+                for b in range(full_batches):
                     idx = idx_mat[b]
                     rng = jax.random.fold_in(epoch_rng, b)
                     params, state, opt, loss = train_step_jit(
@@ -332,22 +332,34 @@ class Trainer:
                     model.params, model.state = params, state
                     for h in batch_hooks:
                         h.on_train_batch_end(self, model, batch, b)
-                losses = jnp.stack(losses)
+                losses = jnp.stack(losses) if losses else jnp.zeros((0,))
             else:
                 params, state, opt, losses = epoch_scan_jit(
                     params, state, opt, idx_mat, lr, epoch_rng)
+
+            if has_tail:
+                rng = jax.random.fold_in(epoch_rng, full_batches)
+                params, state, opt, tail_loss = train_step_jit(
+                    params, state, opt, tail_idx, lr, rng)
+                losses = jnp.concatenate([losses, tail_loss[None]])
+                if batch_hooks:
+                    batch = (x_train[tail_idx], y_train[tail_idx])
+                    model.params, model.state = params, state
+                    for h in batch_hooks:
+                        h.on_train_batch_end(self, model, batch,
+                                             full_batches)
 
             model.params, model.state = params, state
 
             # ---- train-loss logging (per-step rows, Lightning layout)
             losses_np = np.asarray(losses)
-            for b in range(idx_mat.shape[0]):
+            for b in range(losses_np.shape[0]):
                 step = self.global_step + b
                 if (step + 1) % self.log_every_n_steps == 0:
                     self.logger.log_metrics(
                         {'train_loss': float(losses_np[b]), 'epoch': epoch},
                         step=step)
-            self.global_step += idx_mat.shape[0]
+            self.global_step += int(losses_np.shape[0])
             self.callback_metrics['train_loss'] = float(losses_np[-1])
 
             for h in hooks:

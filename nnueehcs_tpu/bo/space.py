@@ -59,7 +59,7 @@ class ParameterSpace:
                     val = lo + ui * (hi - lo)
                 if self._is_int(p):
                     val = int(round(val))
-                    val = min(max(val, lo), hi)
+                val = min(max(val, lo), hi)   # guard float rounding at bounds
                 out[p['name']] = val
         return out
 

@@ -182,7 +182,8 @@ def main():
 
     tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
                                       workload=args.workload)
-    print(f'# jax {args.workload} ue pass: batch={batch} '
+    kind = 'train step' if args.workload == 'ensemble_train' else 'ue pass'
+    print(f'# jax {args.workload} {kind}: batch={batch} '
           f'members={args.num_models} '
           f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s',
           file=sys.stderr)
@@ -202,8 +203,11 @@ def main():
         except Exception as e:   # torch unavailable → report raw number
             print(f'# baseline unavailable: {e}', file=sys.stderr)
 
+    metric_name = ('uq_ensemble_train_throughput'
+                   if args.workload == 'ensemble_train'
+                   else f'uq_{args.workload}_ue_throughput')
     print(json.dumps({
-        'metric': f'uq_{args.workload}_ue_throughput',
+        'metric': metric_name,
         'value': round(tpu_tp, 1),
         'unit': 'samples/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,

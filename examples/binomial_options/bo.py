@@ -45,6 +45,7 @@ def main(config_path, eval_only):
     dataset_cfg = config['datasets']
 
     name = 'binomial_options'
+    logdir = None
     if not eval_only:
         dset = get_dataset_from_config(dataset_cfg, 'bo_ds')
         builder = KDEModelBuilder(model_cfg['architecture'], model_cfg['kde'],
@@ -62,8 +63,18 @@ def main(config_path, eval_only):
         test_dl = DataLoader(dset, batch_size=training_cfg['batch_size'],
                              shuffle=False)
         trainer.fit(model, train_dl, test_dl)
+        logdir = trainer.logger.log_dir
 
-    model = load_model(f'logs/{name}/version_0/model.pth')
+    if logdir is None:
+        # --eval_only: pick the latest version directory (CSVLogger
+        # auto-increments, so a hardcoded version_0 would go stale)
+        import glob
+        versions = sorted(glob.glob(f'logs/{name}/version_*'),
+                          key=lambda p: int(p.rsplit('_', 1)[1]))
+        if not versions:
+            raise SystemExit(f'No trained model found under logs/{name}/')
+        logdir = versions[-1]
+    model = load_model(f'{logdir}/model.pth')
     model.eval()
 
     dset_id = get_dataset_from_config(dataset_cfg, 'bo_ds')

@@ -21,21 +21,16 @@ from nnueehcs_tpu.data_utils import (get_dataset_from_config,
 from nnueehcs_tpu.training import load_model
 
 
-def get_final_bo_trial(result_files):
-    number_re = re.compile(r'\d+')
-    largest_trial = None
-    largest_trial_num = None
-    for filename in result_files:
-        m = number_re.search(str(filename.name))
-        if not m:
-            continue
-        trial_num = int(m.group())
-        file_exists = Path(f'{filename}/trial_results.csv').exists()
-        if file_exists and (largest_trial is None
-                            or trial_num > largest_trial_num):
-            largest_trial = filename
-            largest_trial_num = trial_num
-    return largest_trial_num, largest_trial
+def get_final_bo_trial(result_files_or_dir):
+    """Latest finished trial via the shared results-tree helper."""
+    from nnueehcs_tpu.utility import find_latest_finished_trial
+    if isinstance(result_files_or_dir, (list, tuple)):
+        if not result_files_or_dir:
+            return None, None
+        method_dir = Path(result_files_or_dir[0]).parent
+    else:
+        method_dir = Path(result_files_or_dir)
+    return find_latest_finished_trial(method_dir)
 
 
 def get_dataset(dataset_cfg, dataset_name, is_ood=False):
@@ -107,8 +102,12 @@ def main(input, config, output, percentile, ue_dist_column):
 
     results = {}
     for benchdir in indir.iterdir():
+        if not benchdir.is_dir() or benchdir.name not in config['benchmarks']:
+            continue
         results[benchdir.name] = {}
         for datasetdir in benchdir.iterdir():
+            if not datasetdir.is_dir():
+                continue
             benchmark, dataset = benchdir.name, datasetdir.name
             ds_cfg = config['benchmarks'][benchmark]['datasets']
             ds_id = get_dataset(ds_cfg, dataset)
@@ -118,8 +117,9 @@ def main(input, config, output, percentile, ue_dist_column):
             ds_id = prepare_dataset_for_use(ds_id, {'scaling': True})
             results[benchdir.name][datasetdir.name] = {}
             for methoddir in datasetdir.iterdir():
-                bo_files = list(methoddir.iterdir())
-                trial_num, trial_file = get_final_bo_trial(bo_files)
+                if not methoddir.is_dir():
+                    continue
+                trial_num, trial_file = get_final_bo_trial(methoddir)
                 if trial_file is None:
                     continue
                 tresults_csv = pd.read_csv(f'{trial_file}/trial_results.csv')

@@ -121,19 +121,11 @@ def narrow_to_statistic(results, quantity, statistic='max'):
 
 
 def get_final_bo_trial(result_files):
-    number_re = re.compile(r'\d+')
-    largest_trial = None
-    largest_trial_num = None
-    for filename in result_files:
-        m = number_re.search(str(filename.name))
-        if not m:
-            continue
-        trial_num = int(m.group())
-        if Path(f'{filename}/trial_results.csv').exists() and \
-                (largest_trial is None or trial_num > largest_trial_num):
-            largest_trial = filename
-            largest_trial_num = trial_num
-    return largest_trial_num, largest_trial
+    """Latest finished trial via the shared results-tree helper."""
+    from nnueehcs_tpu.utility import find_latest_finished_trial
+    if not result_files:
+        return None, None
+    return find_latest_finished_trial(Path(result_files[0]).parent)
 
 
 def _headline_stats(tresults):

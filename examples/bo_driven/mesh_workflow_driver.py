@@ -13,6 +13,7 @@ import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
 import os
+import queue
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 from itertools import product
@@ -47,24 +48,34 @@ def main(config, output, slices, retries):
     uq_methods = list(config_data['uq_methods'].keys())
     cells = list(product(benches, uq_methods, ['tails', 'gaps']))
 
-    def run_cell(slice_idx, bench, method, dset):
+    # slices are leased from a pool, not assigned by submission index —
+    # otherwise a fast cell's worker could start the next queued cell on a
+    # slice another cell is still using
+    free_slices = queue.Queue()
+    for i in range(n_slices):
+        free_slices.put(i)
+
+    def run_cell(bench, method, dset):
+        slice_idx = free_slices.get()
         devs = device_slices[slice_idx]
-        for attempt in range(retries + 1):
-            try:
-                run_bo_experiment(bench, method, config_data, dset, output,
-                                  restart=True, devices=devs)
-                return (bench, method, dset, 'OK')
-            except Exception as e:
-                print(f'{bench}/{method}/{dset} attempt {attempt} failed: {e}')
-                traceback.print_exc()
-        return (bench, method, dset, 'FAILED')
+        try:
+            for attempt in range(retries + 1):
+                try:
+                    run_bo_experiment(bench, method, config_data, dset,
+                                      output, restart=True, devices=devs)
+                    return (bench, method, dset, 'OK')
+                except Exception as e:
+                    print(f'{bench}/{method}/{dset} attempt {attempt} '
+                          f'failed: {e}')
+                    traceback.print_exc()
+            return (bench, method, dset, 'FAILED')
+        finally:
+            free_slices.put(slice_idx)
 
     results = []
     with ThreadPoolExecutor(max_workers=n_slices) as pool:
-        futures = []
-        for i, (bench, method, dset) in enumerate(cells):
-            futures.append(pool.submit(run_cell, i % n_slices, bench,
-                                       method, dset))
+        futures = [pool.submit(run_cell, bench, method, dset)
+                   for bench, method, dset in cells]
         for fut in futures:
             results.append(fut.result())
 

@@ -28,26 +28,16 @@ def get_evaluators(metrics):
     return [get_evaluator(metric) for metric in metrics]
 
 
-def find_best_training_run(results_instance: ResultsInstance,
-                           train_eval_metric):
-    res = pd.read_csv(results_instance.get_trial_results_file())
-    name = train_eval_metric.get_metrics()[0]
-    if train_eval_metric.get_objectives()[0]['type'] == 'maximize':
-        best = res[name].max()
-    else:
-        best = res[name].min()
-    return best, res[res[name] == best].iloc[0]
-
-
 def get_latest_finished_trial(composite, benchmark, dataset_name, method):
-    num_trials = composite.get_num_trials(benchmark, dataset_name, method)
-    inst = composite.get_results_instance(benchmark, dataset_name, method,
-                                          f'bo_trial_{num_trials - 1}')
-    while not inst.is_finished():
-        num_trials -= 1
-        inst = composite.get_results_instance(benchmark, dataset_name, method,
-                                              f'bo_trial_{num_trials - 1}')
-    return inst
+    """Latest trial with results; returns None when no trial has finished
+    (e.g. a cell that crashed before its first trial_results.csv)."""
+    from nnueehcs_tpu.utility import find_latest_finished_trial
+    method_dir = Path(composite.results_dir) / benchmark / dataset_name / method
+    num, trial_dir = find_latest_finished_trial(method_dir)
+    if trial_dir is None:
+        return None
+    return composite.get_results_instance(benchmark, dataset_name, method,
+                                          trial_dir.name)
 
 
 def get_benchmark_dataset_pairs(composite, benchmark=None, dataset=None):
@@ -160,6 +150,10 @@ def process_benchmark_dataset(composite, config, benchmark, dataset,
         print(f'\nEvaluating method: {current_method}')
         inst = get_latest_finished_trial(composite, benchmark, dataset,
                                          current_method)
+        if inst is None:
+            print(f'Warning: no finished trials for {benchmark}/{dataset}/'
+                  f'{current_method}; skipping')
+            continue
         runs = find_all_training_runs(inst) if evaluate_all \
             else find_pareto_optimal_runs(inst, train_eval_metrics)
 

@@ -49,6 +49,10 @@ def make_handler(predictor: Predictor):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(length))
+                if not isinstance(payload, dict):
+                    self._send(400, {'error': 'body must be a JSON object '
+                                              'with an "inputs" key'})
+                    return
                 x = np.asarray(payload['inputs'], np.float32)
                 if x.ndim != 2 or x.shape[1] != predictor.num_features:
                     self._send(400, {
@@ -69,7 +73,8 @@ def make_handler(predictor: Predictor):
                     self._send(200, {
                         'predictions': np.asarray(out).ravel().tolist(),
                         'latency_ms': round(latency, 3)})
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._send(400, {'error': str(e)})
 
         def log_message(self, fmt, *args):

@@ -189,6 +189,10 @@ class WrappedModelBase:
                              for i in range(len(outputs[0])))
             return jnp.concatenate(outputs, axis=0)
         bucket = _bucket_size(n)
+        if self._mesh is not None and 'dp' in self._mesh.axis_names:
+            # the padded batch must divide evenly over the dp axis
+            dp = self._mesh.shape['dp']
+            bucket = -(-bucket // dp) * dp
         key = ('eval', return_ue, bucket) + x.shape[1:]
         fn = self._jit_cache.get(key)
         if fn is None:

@@ -83,6 +83,30 @@ class ResultsInstance:
         return f'{self.results_dir}'
 
 
+def find_latest_finished_trial(method_dir):
+    """Scan a method directory for the finished trial (has
+    ``trial_results.csv``) with the largest trial number.  Returns
+    ``(trial_number, trial_dir_path)`` or ``(None, None)`` when no trial has
+    finished — shared by the collation/post-hoc tools (the reference
+    duplicated this scan in three scripts)."""
+    number_re = re.compile(r'\d+')
+    best_num, best_dir = None, None
+    method_dir = Path(method_dir)
+    if not method_dir.is_dir():
+        return None, None
+    for item in method_dir.iterdir():
+        if not item.is_dir():
+            continue
+        m = number_re.search(item.name)
+        if not m:
+            continue
+        num = int(m.group())
+        if (item / 'trial_results.csv').exists() and \
+                (best_num is None or num > best_num):
+            best_num, best_dir = num, item
+    return best_num, best_dir
+
+
 class ResultsComposite:
     """Enumerates/filters the 4-level results tree
     (benchmark → dataset → method → trial)."""

@@ -99,9 +99,15 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
-    fn = jax.jit(lambda p, s, xx:
-                 model.eval_output(p, s, xx, model._eval_rng(),
-                                   return_ue=True))
+    if workload == 'ensemble':
+        # the real user path (model.__call__) so the fused VMEM-resident
+        # kernel engages; input stays device-resident
+        def fn(p, s, xx):
+            return model(xx, return_ue=True)
+    else:
+        fn = jax.jit(lambda p, s, xx:
+                     model.eval_output(p, s, xx, model._eval_rng(),
+                                       return_ue=True))
     args = (model.params, model.state, x)
 
     def sync(out):

@@ -58,11 +58,48 @@ class EnsembleModel(WrappedModelBase):
         return y
 
     def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        if getattr(self, '_fused_active', False):
+            # fused fast path: BatchNorm pre-folded into the Linear weights
+            # (cached per parameter version; see __call__), all member
+            # weights resident in VMEM, mean/std computed on-chip
+            from ..ops.fused_ensemble import fused_forward_prefolded
+            mean, std = fused_forward_prefolded(self._fused_cache, x)
+            mean = mean.astype(x.dtype)
+            if return_ue:
+                return mean, std.astype(x.dtype)
+            return mean
         outputs, _ = self._member_apply(EVAL_MODE)(params, state, x, None)
         mean = outputs.mean(0)
         if return_ue:
             return mean, _std_unbiased(outputs, axis=0)
         return mean
+
+    def _use_fused_eval(self) -> bool:
+        import os
+        if os.environ.get('NNUEEHCS_TPU_NO_FUSED'):
+            return False
+        return jax.default_backend() == 'tpu' and self._mesh is None
+
+    def __call__(self, x, return_ue: bool = False):
+        """Stateful eval: routes through the fused VMEM-resident kernel when
+        the architecture allows.  Folded weights bake the current params
+        into the compiled program, so the cache (and the jit cache whose
+        traces embed it) is rebuilt whenever the params pytree object is
+        replaced (training updates swap the whole pytree)."""
+        self._fused_active = False
+        if self._use_fused_eval() and self.initialized:
+            from ..ops.fused_ensemble import prepare_fused_weights
+            cache = getattr(self, '_fused_cache', None)
+            if cache is None or cache.src_params is not self.params:
+                self.invalidate_cache()
+                cache = prepare_fused_weights(self.net, self.params,
+                                              self.state)
+                self._fused_cache = cache
+            self._fused_active = cache.folded
+        try:
+            return super().__call__(x, return_ue=return_ue)
+        finally:
+            self._fused_active = False
 
     def config_dict(self):
         d = super().config_dict()

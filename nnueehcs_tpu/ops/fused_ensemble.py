@@ -1,0 +1,214 @@
+"""Fused ensemble-MLP evaluation kernel.
+
+The flagship UQ workload — an N-member [Linear→BatchNorm→ReLU]×k MLP
+ensemble producing (mean, std) — is small enough that *every* member's
+weights fit in VMEM simultaneously (8 members × 7 layers × 128×128 f32 ≈
+3.7 MB).  The generic vmap path re-reads each layer's activations from HBM
+(the pass is HBM-bound); this kernel instead:
+
+1. folds eval-mode BatchNorm affine transforms into the preceding Linear
+   (``W' = W ∘ (γ/σ)``, ``b' = (b − μ)·γ/σ + β``) so the net becomes a pure
+   Linear+ReLU chain,
+2. runs one Pallas program per batch tile with all member weights resident
+   in VMEM, unrolling members × layers as back-to-back MXU matmuls,
+3. accumulates member sum / sum-of-squares on-chip and writes only the
+   (tile, 1) mean and unbiased std back to HBM.
+
+HBM traffic drops from ~2 bytes/member/layer/row to just the input read +
+two scalar columns out.  Used automatically by
+:class:`~nnueehcs_tpu.models.ensemble.EnsembleModel` on TPU when the
+architecture matches; numerics are verified against the vmap path in
+``tests/test_fused_ensemble.py``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import Linear, BatchNorm1d, ReLU
+
+
+def fold_ensemble_params(net, params, state):
+    """Fold [Linear, BatchNorm1d?, ReLU?]×k → list of (W, b) stacked per
+    member, plus per-layer ReLU flags.  Returns None when the architecture
+    doesn't match the fusable pattern."""
+    layers = list(net.layers)
+    folded = []   # (W (N,in,out), b (N,out), relu_after: bool)
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
+        if not isinstance(layer, Linear):
+            return None
+        w = jnp.asarray(params[i]['w'])
+        b = jnp.asarray(params[i]['b']) if layer.bias else \
+            jnp.zeros(w.shape[:-2] + (w.shape[-1],), w.dtype)
+        j = i + 1
+        if j < len(layers) and isinstance(layers[j], BatchNorm1d):
+            bn = layers[j]
+            mean = jnp.asarray(state[j]['mean'])
+            var = jnp.asarray(state[j]['var'])
+            inv = jax.lax.rsqrt(var + bn.eps)
+            if bn.affine:
+                gamma = jnp.asarray(params[j]['scale'])
+                beta = jnp.asarray(params[j]['bias'])
+            else:
+                gamma = jnp.ones_like(mean)
+                beta = jnp.zeros_like(mean)
+            scale = inv * gamma                     # (N, out) or (out,)
+            w = w * scale[..., None, :]
+            b = (b - mean) * scale + beta
+            j += 1
+        relu = False
+        if j < len(layers) and isinstance(layers[j], ReLU):
+            relu = True
+            j += 1
+        folded.append((w, b, relu))
+        i = j
+    return folded
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _fused_kernel(x_ref, *refs, num_members, num_layers, relus):
+    w_refs = refs[:num_layers]
+    b_refs = refs[num_layers:2 * num_layers]
+    mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
+
+    x = x_ref[:]                                     # (TILE, d_pad)
+    s1 = jnp.zeros((x.shape[0], 128), jnp.float32)
+    s2 = jnp.zeros((x.shape[0], 128), jnp.float32)
+    for m in range(num_members):
+        h = x
+        for l in range(num_layers):
+            h = jnp.dot(h, w_refs[l][m], preferred_element_type=jnp.float32)
+            h = h + b_refs[l][m]
+            if relus[l]:
+                h = jnp.maximum(h, 0.0)
+            h = h.astype(x.dtype)
+        hf = h.astype(jnp.float32)
+        s1 = s1 + hf
+        s2 = s2 + hf * hf
+    n = num_members
+    mean = s1 / n
+    var = jnp.maximum(s2 - n * mean * mean, 0.0) / max(n - 1, 1)
+    mean_ref[:] = mean
+    std_ref[:] = jnp.sqrt(var)
+
+
+@functools.partial(jax.jit, static_argnames=('num_members', 'relus',
+                                             'out_dim', 'tile'))
+def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bpad, dpad = x_pad.shape
+    num_layers = len(ws)
+    grid = (bpad // tile,)
+
+    in_specs = [pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0,) * 3,
+                                     memory_space=pltpu.VMEM))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,) * 2,
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _fused_kernel, num_members=num_members, num_layers=num_layers,
+        relus=relus)
+
+    mean, std = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, 128), jnp.float32)),
+    )(x_pad, *ws, *bs)
+    return mean[:, :out_dim], std[:, :out_dim]
+
+
+class FusedCache:
+    """Pre-folded, pre-padded member weights for the fused kernel, pinned to
+    the params pytree object they were derived from."""
+
+    def __init__(self, folded, src_params, ws=None, bs=None, relus=None,
+                 num_members=0, out_dim=1, dpad=128):
+        self.folded = folded
+        self.src_params = src_params
+        self.ws = ws
+        self.bs = bs
+        self.relus = relus
+        self.num_members = num_members
+        self.out_dim = out_dim
+        self.dpad = dpad
+
+
+def prepare_fused_weights(net, params, state) -> FusedCache:
+    """Fold + pad once per parameter version (host-side, outside jit)."""
+    folded = fold_ensemble_params(net, params, state)
+    if folded is None:
+        return FusedCache(False, params)
+    num_members = folded[0][0].shape[0]
+    out_dim = folded[-1][0].shape[-1]
+    # hidden activations live as (tile, 128) blocks: every layer's output
+    # width (and every non-first layer's input width) must fit 128; the
+    # first layer's input width may be wider (padded into the x block)
+    if out_dim > 128:
+        return FusedCache(False, params)
+    for idx, (w, _, _) in enumerate(folded):
+        if w.shape[-1] > 128 or (idx > 0 and w.shape[-2] > 128):
+            return FusedCache(False, params)
+    weight_bytes = sum(int(np.prod(w.shape)) * 4 + int(np.prod(b.shape)) * 4
+                       for w, b, _ in folded)
+    if weight_bytes > 8 * 1024 * 1024:
+        return FusedCache(False, params)
+
+    ws, bs, relus = [], [], []
+    for w, b, relu in folded:
+        in_pad = _round_up(w.shape[-2], 128)
+        w_p = jnp.zeros((num_members, in_pad, 128), jnp.float32)
+        w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(w.astype(jnp.float32))
+        b_p = jnp.zeros((num_members, 128), jnp.float32)
+        b_p = b_p.at[:, :b.shape[-1]].set(b.astype(jnp.float32))
+        ws.append(jax.device_put(w_p))
+        bs.append(jax.device_put(b_p))
+        relus.append(relu)
+    return FusedCache(True, params, tuple(ws), tuple(bs), tuple(relus),
+                      num_members, out_dim, ws[0].shape[1])
+
+
+def fused_forward_prefolded(cache: FusedCache, x):
+    """(mean, std) via the fused kernel with pre-folded weights.  Traceable
+    (called inside the model's jitted eval)."""
+    b = x.shape[0]
+    tile = 512 if b % 512 == 0 else (256 if b % 256 == 0 else None)
+    if tile is None:
+        bpad = _round_up(b, 256)
+        tile = 256
+    else:
+        bpad = b
+    x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
+    x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
+    mean, std = _fused_forward(x_p, cache.ws, cache.bs, cache.num_members,
+                               cache.relus, cache.out_dim, tile)
+    return mean[:b], std[:b]
+
+
+def fused_ensemble_eval(net, params, state, x, tile: int = 512):
+    """One-shot fold + fused forward (testing convenience; hot callers use
+    :func:`prepare_fused_weights` once and :func:`fused_forward_prefolded`
+    per batch).  Returns None when the architecture is not fusable."""
+    cache = prepare_fused_weights(net, params, state)
+    if not cache.folded:
+        return None
+    return fused_forward_prefolded(cache, jnp.asarray(x))

@@ -99,9 +99,9 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
-    if workload == 'ensemble':
+    if workload in ('ensemble', 'mc_dropout'):
         # the real user path (model.__call__) so the fused VMEM-resident
-        # kernel engages; input stays device-resident
+        # kernels engage; input stays device-resident
         def fn(p, s, xx):
             return model(xx, return_ue=True)
     else:

@@ -52,6 +52,27 @@ class MCDropoutModel(WrappedModelBase):
     def _eval_rng(self):
         return self._sample_key
 
+    # ------------------------------------------------------ fused fast path
+    def _use_fused_eval(self) -> bool:
+        import os
+        if os.environ.get('NNUEEHCS_TPU_NO_FUSED'):
+            return False
+        return jax.default_backend() == 'tpu' and self._mesh is None
+
+    def __call__(self, x, return_ue: bool = False):
+        """Stateful eval: MC sampling runs as one Pallas program per batch
+        tile (weights VMEM-resident, dropout masks from the on-chip PRNG)
+        when the architecture allows.  The random stream differs from the
+        jax.random path — statistically equivalent dropout (verified: the
+        deviation matches inter-seed sampling noise)."""
+        self._fused_active = False
+        if self._use_fused_eval() and self.initialized:
+            self._fused_active = True
+        try:
+            return super().__call__(x, return_ue=return_ue)
+        finally:
+            self._fused_active = False
+
     # max samples per vmapped group: bounds the (group, batch, width)
     # intermediates (activations + dropout masks per layer) so huge eval
     # batches with many MC samples fit HBM
@@ -63,6 +84,16 @@ class MCDropoutModel(WrappedModelBase):
         return max(1, min(self.sample_chunk, (1 << 20) // max(batch, 1)))
 
     def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        if getattr(self, '_fused_active', False):
+            from ..ops.fused_ensemble import fused_mc_dropout_eval
+            out = fused_mc_dropout_eval(self.net, params, state, x,
+                                        self.num_samples)
+            if out is not None:
+                mean, std = out
+                mean = mean.astype(x.dtype)
+                if return_ue:
+                    return mean, std.astype(x.dtype)
+                return mean
         s = self.num_samples
         g = min(self._group_size(x.shape[0]), s)
         n_groups = -(-s // g)

@@ -212,3 +212,181 @@ def fused_ensemble_eval(net, params, state, x, tile: int = 512):
     if not cache.folded:
         return None
     return fused_forward_prefolded(cache, jnp.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# fused MC-dropout evaluation: single-member weights resident in VMEM,
+# dropout masks generated in-kernel with the TPU PRNG, sample loop on-chip
+# ---------------------------------------------------------------------------
+def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
+                     relus, drop_qs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_refs = refs[:num_layers]
+    b_refs = refs[num_layers:2 * num_layers]
+    mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
+
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0] + i)
+
+    x = x_ref[:]
+
+    def sample_body(s, carry):
+        s1, s2 = carry
+        h = x
+        for l in range(num_layers):
+            if drop_qs[l] is not None:
+                # dropout BEFORE this layer: uniform in [0,1) from the top
+                # 24 bits (explicitly unsigned — a raw uint32 comparison
+                # risks signed lowering), keep-mask scaled by 1/keep
+                keep, _ = drop_qs[l]
+                bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape),
+                                     jnp.uint32)
+                # top 24 bits -> int32 (always non-negative) -> uniform [0,1)
+                u24 = jax.lax.shift_right_logical(bits, jnp.uint32(8))
+                u = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) \
+                    * (1.0 / (1 << 24))
+                mask = (u < keep).astype(jnp.float32) * (1.0 / keep)
+                h = h * mask
+            h = jnp.dot(h, w_refs[l][0],
+                        preferred_element_type=jnp.float32)
+            h = h + b_refs[l][0]
+            if relus[l]:
+                h = jnp.maximum(h, 0.0)
+        return s1 + h, s2 + h * h
+
+    zeros = jnp.zeros((x.shape[0], 128), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, num_samples, sample_body, (zeros, zeros))
+    n = num_samples
+    mean = s1 / n
+    var = jnp.maximum(s2 - n * mean * mean, 0.0) / max(n - 1, 1)
+    mean_ref[:] = mean
+    std_ref[:] = jnp.sqrt(var)
+
+
+@functools.partial(jax.jit, static_argnames=('num_samples', 'relus',
+                                             'drop_qs', 'out_dim', 'tile'))
+def _fused_mc_forward(x_pad, seed, ws, bs, num_samples, relus, drop_qs,
+                      out_dim, tile):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bpad, dpad = x_pad.shape
+    num_layers = len(ws)
+    grid = (bpad // tile,)
+
+    in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0,) * 3,
+                                     memory_space=pltpu.VMEM))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,) * 2,
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _fused_mc_kernel, num_samples=num_samples, num_layers=num_layers,
+        relus=relus, drop_qs=drop_qs)
+
+    mean, std = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((bpad, 128), jnp.float32)),
+    )(seed, x_pad, *ws, *bs)
+    return mean[:, :out_dim], std[:, :out_dim]
+
+
+def fold_mc_dropout_params(net, params, state):
+    """Fold a [Dropout?, Linear, BatchNorm1d?, ReLU?]* chain: returns
+    (folded_linears, per-layer dropout p applied before each linear) or
+    None when the structure doesn't match."""
+    from ..nn.layers import Dropout as DropoutLayer
+    layers = list(net.layers)
+    folded, drops = [], []
+    i = 0
+    while i < len(layers):
+        p_drop = 0.0
+        if isinstance(layers[i], DropoutLayer):
+            p_drop = float(layers[i].p)
+            i += 1
+        if i >= len(layers) or not isinstance(layers[i], Linear):
+            return None
+        w = jnp.asarray(params[i]['w'])[None]     # fake member axis
+        b = (jnp.asarray(params[i]['b']) if layers[i].bias else
+             jnp.zeros((w.shape[-1],), w.dtype))[None]
+        j = i + 1
+        if j < len(layers) and isinstance(layers[j], BatchNorm1d):
+            bn = layers[j]
+            mean = jnp.asarray(state[j]['mean'])
+            var = jnp.asarray(state[j]['var'])
+            inv = jax.lax.rsqrt(var + bn.eps)
+            gamma = jnp.asarray(params[j]['scale']) if bn.affine else 1.0
+            beta = jnp.asarray(params[j]['bias']) if bn.affine else 0.0
+            scale = inv * gamma
+            w = w * scale[None, None, :]
+            b = (b - mean[None]) * scale[None] + beta
+            j += 1
+        relu = False
+        if j < len(layers) and isinstance(layers[j], ReLU):
+            relu = True
+            j += 1
+        folded.append((w, b, relu))
+        drops.append(p_drop)
+        i = j
+    return folded, drops
+
+
+def fused_mc_dropout_eval(net, params, state, x, num_samples: int,
+                          seed: int = 0, tile: int = 512):
+    """(mean, std) over ``num_samples`` stochastic dropout passes with all
+    weights VMEM-resident and masks generated by the on-chip PRNG.  The
+    random stream differs from the jax.random path (statistically
+    equivalent dropout).  Returns None when the net is not fusable."""
+    result = fold_mc_dropout_params(net, params, state)
+    if result is None:
+        return None
+    folded, drops = result
+    out_dim = folded[-1][0].shape[-1]
+    if out_dim > 128:
+        return None
+    for idx, (w, _, _) in enumerate(folded):
+        if w.shape[-1] > 128 or (idx > 0 and w.shape[-2] > 128):
+            return None
+
+    ws, bs, relus, drop_qs = [], [], [], []
+    for (w, b, relu), p_drop in zip(folded, drops):
+        in_pad = _round_up(w.shape[-2], 128)
+        w_p = jnp.zeros((1, in_pad, 128), jnp.float32)
+        w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(w.astype(jnp.float32))
+        b_p = jnp.zeros((1, 128), jnp.float32)
+        b_p = b_p.at[:, :b.shape[-1]].set(b.astype(jnp.float32))
+        ws.append(w_p)
+        bs.append(b_p)
+        relus.append(relu)
+        if p_drop > 0.0:
+            keep = 1.0 - p_drop
+            drop_qs.append((keep, np.uint32(min(int(keep * 2 ** 32),
+                                                2 ** 32 - 1))))
+        else:
+            drop_qs.append(None)
+
+    b_rows = x.shape[0]
+    dpad = ws[0].shape[1]
+    bpad = _round_up(max(b_rows, tile), tile)
+    x_p = jnp.zeros((bpad, dpad), jnp.float32)
+    x_p = x_p.at[:b_rows, :x.shape[1]].set(x.astype(jnp.float32))
+    seed_arr = jnp.asarray([[seed]], jnp.int32)
+
+    mean, std = _fused_mc_forward(x_p, seed_arr, tuple(ws), tuple(bs),
+                                  num_samples, tuple(relus), tuple(drop_qs),
+                                  out_dim, tile)
+    return mean[:b_rows], std[:b_rows]

@@ -165,6 +165,14 @@ class WrappedModelBase:
         return jax.device_put(x, batch_sharding(self._mesh))
 
     # --------------------------------------------------------- stateful sugar
+    def _use_fused_eval(self) -> bool:
+        """Whether fused Pallas eval kernels may engage (TPU, unsharded,
+        not opted out)."""
+        import os
+        if os.environ.get('NNUEEHCS_TPU_NO_FUSED'):
+            return False
+        return jax.default_backend() == 'tpu' and self._mesh is None
+
     def _eval_rng(self):
         return None
 
@@ -193,7 +201,8 @@ class WrappedModelBase:
             # the padded batch must divide evenly over the dp axis
             dp = self._mesh.shape['dp']
             bucket = -(-bucket // dp) * dp
-        key = ('eval', return_ue, bucket) + x.shape[1:]
+        key = ('eval', return_ue, bucket,
+               getattr(self, '_fused_active', False)) + x.shape[1:]
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(

@@ -74,28 +74,33 @@ class EnsembleModel(WrappedModelBase):
             return mean, _std_unbiased(outputs, axis=0)
         return mean
 
-    def _use_fused_eval(self) -> bool:
-        import os
-        if os.environ.get('NNUEEHCS_TPU_NO_FUSED'):
-            return False
-        return jax.default_backend() == 'tpu' and self._mesh is None
+    def invalidate_cache(self):
+        super().invalidate_cache()
+        self._fused_cache = None
 
     def __call__(self, x, return_ue: bool = False):
         """Stateful eval: routes through the fused VMEM-resident kernel when
-        the architecture allows.  Folded weights bake the current params
-        into the compiled program, so the cache (and the jit cache whose
-        traces embed it) is rebuilt whenever the params pytree object is
-        replaced (training updates swap the whole pytree)."""
+        the architecture allows.  Folded weights bake the current params AND
+        batch-norm state into the compiled program, so the cache (and the
+        jit cache whose traces embed it) is rebuilt whenever either pytree
+        object is replaced (training updates swap both wholesale).  The
+        staleness check runs regardless of whether fusion is enabled, so
+        toggling NNUEEHCS_TPU_NO_FUSED never replays stale traces (the jit
+        cache key also encodes the fused flag)."""
         self._fused_active = False
-        if self._use_fused_eval() and self.initialized:
-            from ..ops.fused_ensemble import prepare_fused_weights
+        if self.initialized:
             cache = getattr(self, '_fused_cache', None)
-            if cache is None or cache.src_params is not self.params:
-                self.invalidate_cache()
+            if cache is not None and cache.stale_for(self.params, self.state):
+                # traces exist that embed the old folded weights — drop them
+                self.invalidate_cache()   # also clears _fused_cache
+                cache = None
+            if cache is None and self._use_fused_eval():
+                from ..ops.fused_ensemble import prepare_fused_weights
                 cache = prepare_fused_weights(self.net, self.params,
                                               self.state)
                 self._fused_cache = cache
-            self._fused_active = cache.folded
+            self._fused_active = (cache is not None and cache.folded
+                                  and self._use_fused_eval())
         try:
             return super().__call__(x, return_ue=return_ue)
         finally:

@@ -53,12 +53,6 @@ class MCDropoutModel(WrappedModelBase):
         return self._sample_key
 
     # ------------------------------------------------------ fused fast path
-    def _use_fused_eval(self) -> bool:
-        import os
-        if os.environ.get('NNUEEHCS_TPU_NO_FUSED'):
-            return False
-        return jax.default_backend() == 'tpu' and self._mesh is None
-
     def __call__(self, x, return_ue: bool = False):
         """Stateful eval: MC sampling runs as one Pallas program per batch
         tile (weights VMEM-resident, dropout masks from the on-chip PRNG)
@@ -102,6 +96,13 @@ class MCDropoutModel(WrappedModelBase):
         # mask padded samples out of the statistics
         valid = (jnp.arange(n_groups * g) < s).reshape(n_groups, g)
 
+        # deterministic (no-dropout) forward as the variance shift: the
+        # accumulated deltas are on the sampling-noise scale, so the
+        # one-pass variance formula never cancels when |mean| >> std
+        from ..nn.layers import EVAL_MODE
+        c, _ = self.net.apply(params, state, x, EVAL_MODE, rng=None)
+        c = c.astype(jnp.float32)
+
         def single(key):
             y, _ = self.net.apply(params, state, x, MC_EVAL_MODE, rng=key)
             return y
@@ -109,10 +110,10 @@ class MCDropoutModel(WrappedModelBase):
         def group_stats(inp):
             gkeys, gvalid = inp
             preds = jax.vmap(single)(gkeys)            # (g, B, out)
-            pf = preds.astype(jnp.float32)
+            d = preds.astype(jnp.float32) - c[None]
             w = gvalid.astype(jnp.float32).reshape(
                 -1, *([1] * (preds.ndim - 1)))
-            return jnp.sum(pf * w, axis=0), jnp.sum(pf * pf * w, axis=0)
+            return jnp.sum(d * w, axis=0), jnp.sum(d * d * w, axis=0)
 
         if n_groups == 1:
             s1, s2 = group_stats((keys[0], valid[0]))
@@ -121,9 +122,10 @@ class MCDropoutModel(WrappedModelBase):
             s1 = jnp.sum(sums[0], axis=0)
             s2 = jnp.sum(sums[1], axis=0)
 
-        mean = s1 / s
+        m1 = s1 / s
+        mean = c + m1
         if return_ue:
-            var = jnp.maximum(s2 - s * mean * mean, 0.0) / (s - 1)
+            var = jnp.maximum(s2 - s * m1 * m1, 0.0) / max(s - 1, 1)
             return mean.astype(x.dtype), jnp.sqrt(var).astype(x.dtype)
         return mean.astype(x.dtype)
 

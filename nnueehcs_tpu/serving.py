@@ -38,7 +38,6 @@ class Predictor:
             self.model.attach_mesh(mesh)
         self.return_ue = return_ue
         self.buckets = tuple(sorted(buckets))
-        self._compiled = {}
         self._num_features = self._infer_features()
         if warmup:
             self.warmup()
@@ -63,27 +62,22 @@ class Predictor:
                 return b
         return self.buckets[-1]
 
-    def _get_compiled(self, bucket: int):
-        fn = self._compiled.get(bucket)
-        if fn is None:
-            model = self.model
-
-            def forward(params, state, x, rng):
-                return model.eval_output(params, state, x, rng,
-                                         return_ue=self.return_ue)
-            x_shape = jax.ShapeDtypeStruct(
-                (bucket, self._num_features), self.model.dtype)
-            args = (self.model.params, self.model.state, x_shape,
-                    self.model._eval_rng())
-            fn = jax.jit(forward).lower(*args).compile()
-            self._compiled[bucket] = fn
-        return fn
+    def _run_bucket(self, chunk):
+        """One exactly-bucket-sized forward through the model's stateful
+        eval — this engages the model-specific fast paths (fused Pallas
+        kernels on TPU) and populates the model's own jit cache, which is
+        our AOT store (keyed by bucket size)."""
+        return self.model(jnp.asarray(chunk), return_ue=self.return_ue)
 
     def warmup(self):
-        """Compile every bucket ahead of time."""
+        """Compile every bucket ahead of time by driving one forward per
+        bucket size through the model."""
         start = time.time()
+        from .utils.timing import device_sync
         for b in self.buckets:
-            self._get_compiled(b)
+            zeros = np.zeros((b, self._num_features),
+                             np.dtype(self.model.dtype))
+            device_sync(self._run_bucket(zeros))
         return time.time() - start
 
     def predict(self, x):
@@ -104,9 +98,7 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.broadcast_to(chunk[:1],
                                             (bucket - take,) + chunk.shape[1:])])
-            fn = self._get_compiled(bucket)
-            out = fn(self.model.params, self.model.state,
-                     jnp.asarray(chunk), self.model._eval_rng())
+            out = self._run_bucket(chunk)
             if isinstance(out, tuple):
                 out_chunks.append(tuple(np.asarray(o)[:take] for o in out))
             else:

@@ -88,3 +88,58 @@ def test_cache_rebuilds_on_param_swap(model):
     assert c1.src_params is model.params
     new_params = jax.tree_util.tree_map(lambda l: l * 2.0, model.params)
     assert c1.src_params is not new_params
+
+
+def test_shifted_stats_no_cancellation():
+    """The shifted one-pass variance must survive |mean| >> std (the naive
+    E[x^2]-E[x]^2 in f32 collapses around mean ~1e3)."""
+    from nnueehcs_tpu.ops.fused_ensemble import _shifted_stats
+    rng = np.random.default_rng(0)
+    n = 8
+    base = jnp.asarray(1000.0 + rng.normal(size=(64, 1)) * 0.01, jnp.float32)
+    members = base + jnp.asarray(rng.normal(size=(n, 64, 1)) * 0.01,
+                                 jnp.float32)
+    c = members[0]
+    deltas = members - c
+    s1 = jnp.sum(deltas, axis=0)
+    s2 = jnp.sum(deltas * deltas, axis=0)
+    mean, std = _shifted_stats(s1, s2, c, n)
+    ref_mean = np.mean(np.asarray(members, np.float64), axis=0)
+    ref_std = np.std(np.asarray(members, np.float64), axis=0, ddof=1)
+    assert np.allclose(np.asarray(mean), ref_mean, rtol=1e-6)
+    assert np.allclose(np.asarray(std), ref_std, rtol=1e-3)
+
+
+def test_fused_cache_stale_on_state_swap(model):
+    cache = prepare_fused_weights(model.net, model.params, model.state)
+    assert not cache.stale_for(model.params, model.state)
+    new_state = tuple(dict(s) if s else s for s in model.state)
+    assert cache.stale_for(model.params, new_state)
+    new_params = tuple(list(model.params))   # same values, new object
+    assert cache.stale_for(new_params, model.state)
+
+
+def test_vmem_budget_rejects_oversized():
+    """A net whose weights pass width checks but blow the VMEM budget must
+    fall back (return an unfoldable cache) instead of failing to compile."""
+    import nnueehcs_tpu.ops.fused_ensemble as FE
+    wide = EnsembleModelBuilder(
+        [{'Linear': {'args': [6000, 128]}}, {'ReLU': {}},
+         {'Linear': {'args': [128, 1]}}], {'num_models': 4}).build()
+    cache = prepare_fused_weights(wide.net, wide.params, wide.state)
+    assert not cache.folded
+
+
+def test_mc_fold_extracts_dropout_positions():
+    from nnueehcs_tpu.model_builder import MCDropoutModelBuilder
+    from nnueehcs_tpu.ops.fused_ensemble import fold_mc_dropout_params
+    arch = [{'Linear': {'args': [3, 16]}}, {'ReLU': {}},
+            {'Linear': {'args': [16, 16]}}, {'ReLU': {}},
+            {'Linear': {'args': [16, 1]}}]
+    m = MCDropoutModelBuilder(arch, {'num_samples': 4,
+                                     'dropout_percent': 0.25}).build()
+    folded, drops = fold_mc_dropout_params(m.net, m.params, m.state)
+    assert len(folded) == 3
+    # dropout is inserted before *middle* Linears only (the last
+    # Linear is excluded by the builder's rewrite rule)
+    assert drops == [0.0, 0.25, 0.0]

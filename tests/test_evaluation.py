@@ -388,3 +388,28 @@ def test_calibration_in_factories():
     assert isinstance(ev.metrics[0], CalibrationEvaluation)
     ev2 = get_uncertainty_evaluator('calibration')
     assert isinstance(ev2.metrics[0], CalibrationEvaluation)
+
+
+def test_jsd_multidim_tuple_path():
+    """Tuple (multi-channel) UEs: JSD averages per-row distances and
+    Wasserstein averages per-channel distances (reference
+    evaluation.py:184-187, 252-266)."""
+    rng = np.random.default_rng(7)
+    id_ue = UncertaintyEstimate((np.abs(rng.normal(size=(50, 4))) + 0.1,
+                                 np.abs(rng.normal(size=(50, 4))) + 0.1))
+    ood_ue = UncertaintyEstimate((np.abs(rng.normal(size=(50, 4))) + 0.5,
+                                  np.abs(rng.normal(size=(50, 4))) + 0.5))
+    res = WassersteinEvaluation()._evaluate_uncertainties(id_ue, ood_ue)
+    assert np.isfinite(res['wasserstein_distance'])
+    with pytest.raises(ValueError):
+        WassersteinEvaluation()._evaluate_uncertainties(
+            id_ue, UncertaintyEstimate(np.ones(50)))
+
+    # 2-D single-array data takes the per-row jensenshannon path
+    p1 = np.abs(rng.normal(size=(10, 6))) + 0.1
+    p2 = np.abs(rng.normal(size=(10, 6))) + 0.1
+    je = JensenShannonEvaluation()
+    val = je._average_js_distance(p1, p2)
+    from scipy.spatial.distance import jensenshannon
+    ref = np.mean([jensenshannon(p1[i], p2[i]) for i in range(10)])
+    assert val == pytest.approx(ref, rel=1e-6)

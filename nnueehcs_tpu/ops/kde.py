@@ -300,3 +300,50 @@ def knn_kde_density(x, data, h: float, k: int):
     gamma = 1.0 / (2.0 * h * h)
     log_kernel_sum = jax.nn.logsumexp(-sqd * gamma, axis=1)
     return jnp.exp(log_kernel_sum + _log_norm_const(n, d, h))
+
+
+# --------------------------------------------------------------------------
+# mesh-sharded KDE: reference rows sharded over 'dp', queries replicated;
+# per-device partial log-sum-exp merged with pmax/psum collectives.
+# For fit sets too large for one chip's HBM (e.g. the 16.7M-row
+# binomial_options corpus at full train_fit_prop).
+# --------------------------------------------------------------------------
+def kde_logpdf_sharded(x, data, h: float, mesh, axis: str = 'dp'):
+    """Exact Gaussian-KDE log density with ``data`` sharded across
+    ``mesh[axis]``.  Matches :func:`kde_logpdf` numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    x = jnp.asarray(x, jnp.float32)
+    data = jnp.asarray(data, jnp.float32)
+    n, d = data.shape
+    center = jnp.mean(data, axis=0)
+    x = x - center
+    data = data - center
+
+    n_dev = mesh.shape[axis]
+    npad = _round_up(n, n_dev)
+    data_p = jnp.pad(data, ((0, npad - n), (0, 0)))
+    shard = npad // n_dev
+    gamma = 1.0 / (2.0 * h * h)
+
+    def local(xl, dl):
+        # mask padded reference rows by global index
+        start = jax.lax.axis_index(axis) * shard
+        valid = (start + jnp.arange(shard)) < n
+        expnt = -_sq_dists(xl, dl) * gamma
+        expnt = jnp.where(valid[None, :], expnt, -jnp.inf)
+        m = jnp.max(expnt, axis=1)
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        s = jnp.sum(jnp.exp(expnt - m_safe[:, None]), axis=1)
+        l_local = jnp.where(s > 0, m_safe + jnp.log(s), -jnp.inf)
+        # merge partial log-sum-exp across the device axis
+        l_max = jax.lax.pmax(l_local, axis)
+        l_max_safe = jnp.where(jnp.isneginf(l_max), 0.0, l_max)
+        total = jax.lax.psum(jnp.exp(l_local - l_max_safe), axis)
+        return l_max_safe + jnp.log(total)
+
+    in_specs = (P(), P(axis))
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=P())
+    lse = fn(x, data_p)
+    return lse + _log_norm_const(n, d, h)

@@ -95,3 +95,16 @@ def test_shard_params_member_axis():
     params = {'w': np.zeros((4, 8, 8), np.float32)}
     sharded = shard_params(params, mesh, member_stacked=True)
     assert len(sharded['w'].sharding.device_set) == 4
+
+
+def test_sharded_kde_matches_single_device():
+    """Reference rows sharded over dp; partial log-sum-exp merged with
+    collectives — must match the single-device result exactly."""
+    from nnueehcs_tpu.ops.kde import kde_logpdf, kde_logpdf_sharded
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(3001, 4)).astype(np.float32) + 5.0   # odd n
+    q = rng.normal(size=(256, 4)).astype(np.float32) + 5.0
+    mesh = make_mesh({'dp': 8})
+    single = np.asarray(kde_logpdf(q, ref, 0.4))
+    sharded = np.asarray(kde_logpdf_sharded(q, ref, 0.4, mesh))
+    assert np.allclose(single, sharded, atol=1e-4)

@@ -59,7 +59,14 @@ class KDEMLPModel(MLPModel):
             return pred
         if self.kde is None:
             raise ValueError('KDE not fitted yet')
-        log_dens = kde_logpdf(x, self.kde.data, self.kde.bandwidth_)
+        if self._mesh is not None and 'dp' in self._mesh.axis_names and \
+                self._mesh.shape['dp'] > 1:
+            # fit corpus sharded across the mesh; collective lse merge
+            from ..ops.kde import kde_logpdf_sharded
+            log_dens = kde_logpdf_sharded(x, self.kde.data,
+                                          self.kde.bandwidth_, self._mesh)
+        else:
+            log_dens = kde_logpdf(x, self.kde.data, self.kde.bandwidth_)
         # negate so higher density gets a lower uncertainty score
         return pred, -jnp.exp(log_dens)
 

@@ -53,13 +53,23 @@ class EarlyStopping(TrainerHook):
 class ModelSavingCallback(TrainerHook):
     """Save the whole model bundle whenever the monitored metric improves
     (reference ``nnueehcs/training.py:41-65``). The file name defaults to
-    ``model.pth`` for results-tree compatibility."""
+    ``model.pth`` for results-tree compatibility.
+
+    ``defer_serialization=True`` is the low-overhead mode for slow
+    host↔device links: improvements only *pin* the winning params/state
+    pytrees (zero-cost device references); the bundle is serialized once at
+    fit end.  Trades crash-recoverability of the in-progress trial for not
+    transferring every improving epoch's parameters to the host.
+    """
 
     def __init__(self, monitor: str = 'val_loss', save_path=None,
-                 model_name: str = 'model.pth'):
+                 model_name: str = 'model.pth',
+                 defer_serialization: bool = False):
         self.monitor = monitor
         self.save_path = save_path
         self.model_name = model_name
+        self.defer_serialization = defer_serialization
+        self._pinned = None
 
     def on_fit_start(self, trainer, model):
         self.trainer = trainer
@@ -72,7 +82,24 @@ class ModelSavingCallback(TrainerHook):
         current = metrics[self.monitor]
         if not hasattr(self, 'best') or current < self.best:
             self.best = current
-            self.save_checkpoint(model)
+            if self.defer_serialization:
+                # device-side copy: the live buffers get donated by the next
+                # train step; a copy stays on-device (no host transfer)
+                import jax.numpy as jnp
+                import jax
+                self._pinned = jax.tree_util.tree_map(
+                    jnp.copy, (model.params, model.state))
+            else:
+                self.save_checkpoint(model)
+
+    def on_fit_end(self, trainer, model):
+        if self.defer_serialization and self._pinned is not None:
+            live = (model.params, model.state)
+            model.params, model.state = self._pinned
+            try:
+                self.save_checkpoint(model)
+            finally:
+                model.params, model.state = live
 
     def save_checkpoint(self, model):
         os.makedirs(self.save_path, exist_ok=True)

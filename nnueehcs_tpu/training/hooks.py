@@ -30,6 +30,9 @@ class TrainerHook:
     def on_validation_end(self, trainer, model, metrics):
         pass
 
+    def on_fit_end(self, trainer, model):
+        pass
+
 
 class KDEFitHook(TrainerHook):
     """Buffer epoch-0 training inputs, fit the KDE at the end of epoch 0

@@ -415,6 +415,8 @@ class Trainer:
                 break
 
         model.params, model.state = params, state
+        for h in hooks:
+            h.on_fit_end(self, model)
         self.fit_time = time.time() - fit_start
         self.logger.finalize()
         return model

@@ -191,3 +191,29 @@ def test_model_saving_callback_keeps_best(tmp_path):
     assert os.path.exists(path)
     best = load_model(path)
     assert np.asarray(best(x)).shape == (32, 1)
+
+
+def test_deferred_checkpoint_saves_best(tmp_path):
+    """defer_serialization pins winning params as device refs and serializes
+    once at fit end — the saved bundle must be the best epoch, not the last."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 3)).astype(np.float32)
+    dl = DataLoader(ArrayDataset(x, x.sum(1, keepdims=True)), batch_size=32)
+    m = MLPModelBuilder([{'Linear': {'args': [3, 16]}}, {'ReLU': {}},
+                         {'Linear': {'args': [16, 1]}}],
+                        train_config={'loss': 'l1_loss',
+                                      'learning_rate': 0.05}).build()
+    cb = ModelSavingCallback(defer_serialization=True)
+    tr = Trainer('defer', {'accelerator': 'cpu', 'max_epochs': 40},
+                 callbacks=[EarlyStopping(patience=1000), cb],
+                 log_dir=str(tmp_path))
+    tr.fit(m, dl, dl)
+    path = os.path.join(tr.logger.log_dir, 'model.pth')
+    assert os.path.exists(path)
+    best = load_model(path)
+    # best-epoch loss should be <= final-epoch loss (high LR oscillates)
+    y = x.sum(1, keepdims=True)
+    best_loss = float(np.mean(np.abs(np.asarray(best(x)) - y)))
+    metrics = pd.read_csv(os.path.join(tr.logger.log_dir, 'metrics.csv'))
+    min_val = metrics['val_loss'].dropna().min()
+    assert best_loss == pytest.approx(min_val, rel=0.05)

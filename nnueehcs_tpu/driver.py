@@ -228,9 +228,13 @@ def build_model(model_cfg, uq_config, uq_method, train_cfg):
 
 def get_trainer(trainer_config, name, model, ue_method, dataset,
                 version=None, log_dir='logs'):
+    # trainer.defer_checkpoint: serialize the best model once at fit end
+    # instead of on every improvement (big win on slow host links)
+    defer = bool(trainer_config.get('defer_checkpoint', False))
     callbacks = [EarlyStopping(monitor='val_loss', min_delta=0.00, patience=30,
                                verbose=False, mode='min'),
-                 ModelSavingCallback(monitor='val_loss')]
+                 ModelSavingCallback(monitor='val_loss',
+                                     defer_serialization=defer)]
     extra = model.get_callbacks()
     if extra:
         callbacks.extend(extra)

@@ -154,6 +154,18 @@ class Trainer:
             return jax.devices('cpu')[0]
         return jax.devices()[0]
 
+    def _log_epoch(self, losses_np, epoch):
+        """Per-step train-loss rows (Lightning layout) + step accounting."""
+        for b in range(losses_np.shape[0]):
+            step = self.global_step + b
+            if (step + 1) % self.log_every_n_steps == 0:
+                self.logger.log_metrics(
+                    {'train_loss': float(losses_np[b]), 'epoch': epoch},
+                    step=step)
+        self.global_step += int(losses_np.shape[0])
+        if losses_np.shape[0]:
+            self.callback_metrics['train_loss'] = float(losses_np[-1])
+
     def fit(self, model, train_dataloaders, val_dataloaders=None):
         device = self._device()
         with jax.default_device(device):
@@ -251,6 +263,23 @@ class Trainer:
 
         epoch_scan_jit = jax.jit(epoch_scan, donate_argnums=(0, 1, 2))
 
+        def epoch_with_val(params, state, opt_state, idx_mat, lr, epoch_rng,
+                           val_xs, val_ys, val_rngs):
+            """Train epoch + validation fused into ONE program — a single
+            host sync per epoch (used when no hook needs to act between
+            the train and validation phases)."""
+            params, state, opt_state, losses = epoch_scan(
+                params, state, opt_state, idx_mat, lr, epoch_rng)
+
+            def vbody(_, inp):
+                xb, yb, rng = inp
+                return None, model.validation_loss(params, state, (xb, yb),
+                                                   rng)
+            _, vlosses = jax.lax.scan(vbody, None, (val_xs, val_ys, val_rngs))
+            return params, state, opt_state, losses, jnp.mean(vlosses)
+
+        fused_epoch_jit = jax.jit(epoch_with_val, donate_argnums=(0, 1, 2))
+
         val_cache = {}
 
         def get_val_step(batch_len):
@@ -291,6 +320,26 @@ class Trainer:
         plateau = PlateauScheduler()
         lr_scale = 1.0
 
+        # ----- fused train+val eligibility: no hook may need to act between
+        # the phases (UQ fit/anchor hooks mutate the model at validation
+        # start / train-epoch end), and validation must consist of full-size
+        # batches only
+        def _overrides(h, name):
+            return getattr(type(h), name) is not getattr(TrainerHook, name)
+
+        hooks_block_fusion = any(
+            _overrides(h, 'on_validation_epoch_start')
+            or _overrides(h, 'on_train_epoch_end') for h in hooks)
+        n_val_total = x_val.shape[0]
+        val_full_only = nb_val * val_bs <= n_val_total
+        if val_full_only and not hooks_block_fusion:
+            val_xs = x_val[:nb_val * val_bs].reshape(nb_val, val_bs,
+                                                     *x_val.shape[1:])
+            val_ys = y_val[:nb_val * val_bs].reshape(nb_val, val_bs,
+                                                     *y_val.shape[1:])
+        else:
+            val_xs = val_ys = None
+
         params, state, opt = model.params, model.state, opt_state
 
         fit_start = time.time()
@@ -320,6 +369,38 @@ class Trainer:
 
             batch_hooks = [h for h in hooks
                            if _wants_batches(h, epoch)] if hooks else []
+
+            # ---- fully fused path: train scan + validation in ONE program,
+            # a single host sync per epoch
+            fused_ok = (val_xs is not None and not batch_hooks
+                        and not has_tail and full_batches > 0)
+            if fused_ok:
+                val_rngs = jax.vmap(
+                    lambda b: jax.random.fold_in(val_key,
+                                                 epoch * 100003 + b))(
+                    jnp.arange(nb_val))
+                params, state, opt, losses, vl_dev = fused_epoch_jit(
+                    params, state, opt, idx_mat, lr, epoch_rng,
+                    val_xs, val_ys, val_rngs)
+                model.params, model.state = params, state
+                losses_np = np.asarray(losses)       # the one host sync
+                vl = float(vl_dev)
+                self._log_epoch(losses_np, epoch)
+                for h in hooks:
+                    h.on_train_epoch_end(self, model)
+                for h in hooks:
+                    h.on_validation_epoch_start(self, model)
+                self.callback_metrics['val_loss'] = vl
+                self.logger.log_metrics({'val_loss': vl, 'epoch': epoch},
+                                        step=self.global_step - 1)
+                for h in hooks:
+                    h.on_validation_end(self, model, self.callback_metrics)
+                lr_scale = plateau.step(vl)
+                self.logger.save()
+                if self.should_stop:
+                    break
+                continue
+
             if batch_hooks or full_batches == 0:
                 losses = []
                 for b in range(full_batches):
@@ -353,14 +434,7 @@ class Trainer:
 
             # ---- train-loss logging (per-step rows, Lightning layout)
             losses_np = np.asarray(losses)
-            for b in range(losses_np.shape[0]):
-                step = self.global_step + b
-                if (step + 1) % self.log_every_n_steps == 0:
-                    self.logger.log_metrics(
-                        {'train_loss': float(losses_np[b]), 'epoch': epoch},
-                        step=step)
-            self.global_step += int(losses_np.shape[0])
-            self.callback_metrics['train_loss'] = float(losses_np[-1])
+            self._log_epoch(losses_np, epoch)
 
             for h in hooks:
                 h.on_train_epoch_end(self, model)

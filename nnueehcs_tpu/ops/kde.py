@@ -312,7 +312,10 @@ def kde_logpdf_sharded(x, data, h: float, mesh, axis: str = 'dp'):
     """Exact Gaussian-KDE log density with ``data`` sharded across
     ``mesh[axis]``.  Matches :func:`kde_logpdf` numerics."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:   # older jax
+        from jax.experimental.shard_map import shard_map
 
     x = jnp.asarray(x, jnp.float32)
     data = jnp.asarray(data, jnp.float32)

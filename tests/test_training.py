@@ -217,3 +217,34 @@ def test_deferred_checkpoint_saves_best(tmp_path):
     metrics = pd.read_csv(os.path.join(tr.logger.log_dir, 'metrics.csv'))
     min_val = metrics['val_loss'].dropna().min()
     assert best_loss == pytest.approx(min_val, rel=0.05)
+
+
+def test_fused_epoch_matches_split_path():
+    """The fused train+val epoch program must produce the same training
+    trajectory as the split path (which hook-bearing models use)."""
+    from nnueehcs_tpu.training import TrainerHook
+
+    class ForceSplit(TrainerHook):
+        def on_validation_epoch_start(self, trainer, model):
+            pass   # overriding blocks epoch fusion
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(256, 3)).astype(np.float32)
+    y = x.sum(1, keepdims=True)
+
+    def train(callbacks):
+        m = MLPModelBuilder([{'Linear': {'args': [3, 16]}}, {'ReLU': {}},
+                             {'Linear': {'args': [16, 1]}}],
+                            train_config={'loss': 'l1_loss'}).build()
+        dl = DataLoader(ArrayDataset(x, y), 64, shuffle=True, drop_last=True)
+        tr = Trainer('fsplit', {'accelerator': 'cpu', 'max_epochs': 5},
+                     callbacks=callbacks, log_dir='logs')
+        tr.fit(m, dl, DataLoader(ArrayDataset(x, y), 64))
+        return m, tr.callback_metrics['val_loss']
+
+    m1, v1 = train([EarlyStopping(patience=100)])                # fused
+    m2, v2 = train([EarlyStopping(patience=100), ForceSplit()])  # split
+    assert v1 == pytest.approx(v2, rel=1e-5)
+    p1 = np.asarray(m1(x))
+    p2 = np.asarray(m2(x))
+    assert np.allclose(p1, p2, atol=1e-6)

@@ -1,13 +1,14 @@
-"""Production inference: ahead-of-time compiled UQ predictors.
+"""Production inference: warm-compiled UQ predictors.
 
 Serving-oriented wrapper around a trained model bundle:
 
 - loads a checkpoint (pickle bundle or Orbax directory),
-- pre-compiles the UQ forward for a fixed set of batch buckets
-  (``jit(...).lower(...).compile()``) so first-request latency is paid at
-  startup, not on the request path,
+- warms the UQ forward for a fixed set of batch buckets at startup by
+  driving the model's stateful eval once per bucket — compilation cost is
+  paid before the first request, and the model-specific fast paths (the
+  fused VMEM-resident Pallas kernels on TPU) engage for serving too,
 - pads requests to the nearest bucket and trims the result (row-independent
-  forwards make padding exact),
+  forwards make padding exact); oversized requests are chunked,
 - optionally shards request batches over a device mesh.
 
 The reference has no serving surface; this is the deployment-side

@@ -12,7 +12,14 @@ backed by a native engine:
   candidate sweep,
 - multi-objective via random-weight augmented-Chebyshev scalarisation with
   per-trial deterministic weights, and exact Pareto extraction over observed
-  trials.
+  trials,
+- outcome constraints (Ax string syntax ``"metric <= bound"``) via
+  probability-of-feasibility-weighted EI (constrained EI, Gardner et al.
+  2014) with a GP per constrained metric, and feasibility filtering of the
+  Pareto set,
+- ``get_pareto_optimal_parameters(use_model_predictions=True)`` extracts the
+  front over per-objective GP posterior means at the observed points
+  (de-noised front), mirroring Ax's model-predictions mode.
 
 State round-trips through JSON, preserving the reference's
 checkpoint/restart contract (reference ``bo.py:282-302``).
@@ -41,6 +48,7 @@ class BOClient:
         self.objectives: Dict[str, ObjectiveProperties] = {}
         self.tracking_metric_names: List[str] = []
         self.outcome_constraints: List = []
+        self._constraints: List[tuple] = []
         self.trials: List[dict] = []
 
     # ----------------------------------------------------------- experiment
@@ -53,6 +61,10 @@ class BOClient:
         self.objectives = dict(objectives)
         self.tracking_metric_names = list(tracking_metric_names or [])
         self.outcome_constraints = list(outcome_constraints or [])
+        # fail loudly on constraints we cannot honor, instead of silently
+        # optimizing an unconstrained problem
+        self._constraints = [_parse_outcome_constraint(c)
+                             for c in self.outcome_constraints]
 
     # ---------------------------------------------------------------- trials
     @property
@@ -101,12 +113,15 @@ class BOClient:
         return completed, names, ys
 
     def _scalarized_targets(self, trial_index: int):
+        """(xs, scalarised y, feasible mask) over completed finite trials."""
         completed, names, ys = self._objective_matrix()
         xs = np.array([self.space.to_unit(t['params']) for t in completed])
         finite = np.all(np.isfinite(ys), axis=1)
-        xs, ys = xs[finite], ys[finite]
+        feasible = np.array([self._is_feasible(t['raw_data'])
+                             for t in completed], dtype=bool)
+        xs, ys, feasible = xs[finite], ys[finite], feasible[finite]
         if ys.shape[1] == 1:
-            return xs, ys[:, 0]
+            return xs, ys[:, 0], feasible
         # normalise each objective to [0,1] over observations
         lo = ys.min(axis=0)
         hi = ys.max(axis=0)
@@ -115,22 +130,79 @@ class BOClient:
         w = rng.dirichlet(np.ones(ys.shape[1]))
         # augmented Chebyshev scalarisation
         scalar = np.max(w * z, axis=1) + 0.05 * np.sum(w * z, axis=1)
-        return xs, scalar
+        return xs, scalar, feasible
+
+    def _metric_observations(self, metric: str):
+        """(xs, values) over completed trials where ``metric`` was reported
+        finite."""
+        completed = [t for t in self.trials if t['status'] == 'completed'
+                     and metric in t['raw_data']]
+        if not completed:
+            return np.zeros((0, max(self.space.dim, 1))), np.zeros(0)
+        xs = np.array([self.space.to_unit(t['params']) for t in completed])
+        vals = np.array([t['raw_data'][metric][0] for t in completed],
+                        dtype=np.float64)
+        finite = np.isfinite(vals)
+        return xs[finite], vals[finite]
+
+    def _feasibility_weight(self, candidates: np.ndarray) -> np.ndarray:
+        """Probability that every outcome constraint holds at each
+        candidate, from one GP per constrained metric (constrained EI)."""
+        from scipy.stats import norm
+        from .gp import GaussianProcess
+        weight = np.ones(len(candidates))
+        for metric, op, bound in self._constraints:
+            xs, vals = self._metric_observations(metric)
+            if len(xs) < 3:
+                continue    # not enough data to model the constraint yet
+            gp = GaussianProcess(xs, vals)
+            mean, var = gp.posterior(candidates)
+            sigma = np.sqrt(np.maximum(var, 1e-12))
+            # P(metric <= bound); for >= flip the tail
+            p_le = norm.cdf((bound - mean) / sigma)
+            weight = weight * (p_le if op == '<=' else 1.0 - p_le)
+        return weight
+
+    def _is_feasible(self, raw_data: dict) -> bool:
+        """Observed means satisfy every outcome constraint."""
+        for metric, op, bound in self._constraints:
+            if metric not in raw_data:
+                continue
+            v = raw_data[metric][0]
+            if not np.isfinite(v):
+                return False
+            if op == '<=' and v > bound:
+                return False
+            if op == '>=' and v < bound:
+                return False
+        return True
 
     def _suggest_gp(self, trial_index: int) -> np.ndarray:
         from .gp import GaussianProcess
-        xs, y = self._scalarized_targets(trial_index)
+        xs, y, feasible = self._scalarized_targets(trial_index)
         if len(xs) < 3:
             return self._sobol_points(1, skip=trial_index)[0]
         gp = GaussianProcess(xs, y)
+        # constrained EI: the incumbent is the best *feasible* observation;
+        # with none observed yet, use the worst value so EI stays
+        # exploratory and the feasibility weight drives the search
+        if self._constraints:
+            best_y = float(y[feasible].min()) if feasible.any() \
+                else float(y.max())
+        else:
+            best_y = None
         candidates = self._sobol_points(2048, seed_offset=1 + trial_index)
         # densify near the incumbent
-        best = xs[np.argmin(y)]
+        inc_pool_y = np.where(feasible, y, np.inf) if self._constraints else y
+        best = xs[int(np.argmin(inc_pool_y))] if np.isfinite(inc_pool_y).any() \
+            else xs[int(np.argmin(y))]
         rng = np.random.default_rng(self.seed * 104729 + trial_index)
         local = np.clip(best + rng.normal(scale=0.05, size=(256, xs.shape[1])),
                         0, 1)
         candidates = np.concatenate([candidates, local])
-        ei = gp.expected_improvement(candidates)
+        ei = gp.expected_improvement(candidates, best_y=best_y)
+        if self._constraints:
+            ei = ei * self._feasibility_weight(candidates)
         return candidates[int(np.argmax(ei))]
 
     def complete_trial(self, trial_index: int, raw_data: dict):
@@ -149,20 +221,57 @@ class BOClient:
 
     # ---------------------------------------------------------------- pareto
     def get_pareto_optimal_parameters(self, use_model_predictions: bool = False):
+        """Pareto-optimal completed trials.
+
+        ``use_model_predictions=False`` extracts the front over the raw
+        observed objective means; ``True`` fits one GP per objective and
+        extracts the front over the posterior means at the observed points
+        (a de-noised front — Ax's model-predictions mode), reporting the
+        model's mean/variance instead of the raw observations.  Outcome
+        constraints filter the front either way.
+        """
         completed, names, ys = self._objective_matrix()
         if not completed:
             return {}
         finite = np.all(np.isfinite(ys), axis=1)
-        idxs = np.nonzero(finite)[0]
-        ys_f = ys[finite]
-        mask = _pareto_efficient_min(ys_f)
+        feasible = np.array([self._is_feasible(t['raw_data'])
+                             for t in completed])
+        keep_rows = finite & feasible
+        idxs = np.nonzero(keep_rows)[0]
+        if len(idxs) == 0:
+            return {}
+        ys_f = ys[keep_rows]
+        pred_means = pred_vars = None
+        if use_model_predictions and len(idxs) >= 3:
+            from .gp import GaussianProcess
+            xs_all = np.array([self.space.to_unit(completed[i]['params'])
+                               for i in idxs])
+            pred_means = np.empty_like(ys_f)
+            pred_vars = np.empty_like(ys_f)
+            for j, n in enumerate(names):
+                # ys is sign-flipped to minimisation; model that directly
+                gp = GaussianProcess(xs_all, ys_f[:, j])
+                m, v = gp.posterior(xs_all)
+                pred_means[:, j] = m
+                pred_vars[:, j] = v
+            mask = _pareto_efficient_min(pred_means)
+        else:
+            mask = _pareto_efficient_min(ys_f)
         result = {}
-        for local_i, keep in zip(idxs, mask):
+        for row, (local_i, keep) in enumerate(zip(idxs, mask)):
             if not keep:
                 continue
             t = completed[local_i]
-            means = {n: float(t['raw_data'][n][0]) for n in names}
-            sems = {n: {n: float(t['raw_data'][n][1]) ** 2} for n in names}
+            if pred_means is not None:
+                sign = np.array([1.0 if self.objectives[n].minimize else -1.0
+                                 for n in names])
+                means = {n: float(sign[j] * pred_means[row, j])
+                         for j, n in enumerate(names)}
+                sems = {n: {n: float(pred_vars[row, j])}
+                        for j, n in enumerate(names)}
+            else:
+                means = {n: float(t['raw_data'][n][0]) for n in names}
+                sems = {n: {n: float(t['raw_data'][n][1]) ** 2} for n in names}
             result[t['index']] = (dict(t['params']), (means, sems))
         return result
 
@@ -205,6 +314,28 @@ class BOClient:
     def load_from_json_file(cls, filepath: str) -> 'BOClient':
         with open(filepath) as f:
             return cls.from_json_dict(json.load(f))
+
+
+def _parse_outcome_constraint(constraint) -> tuple:
+    """Parse an Ax-style outcome constraint string ``"metric <= bound"`` /
+    ``"metric >= bound"`` into ``(metric, op, bound)``.  Raises ValueError
+    on anything else (relative/scaled constraints are not supported) so an
+    unsupported constraint cannot be silently ignored."""
+    import re as _re
+    if isinstance(constraint, (tuple, list)) and len(constraint) == 3:
+        metric, op, bound = constraint
+        if op in ('<=', '>='):
+            return str(metric), op, float(bound)
+        raise ValueError(f'Unsupported outcome-constraint op: {op!r}')
+    if not isinstance(constraint, str):
+        raise ValueError(f'Unsupported outcome constraint: {constraint!r}')
+    m = _re.fullmatch(
+        r'\s*([A-Za-z_][\w.:-]*)\s*(<=|>=)\s*([-+0-9.eE]+)\s*', constraint)
+    if not m:
+        raise ValueError(
+            f'Cannot parse outcome constraint {constraint!r}; expected '
+            f'"metric <= bound" or "metric >= bound" with a numeric bound')
+    return m.group(1), m.group(2), float(m.group(3))
 
 
 def _pareto_efficient_min(costs: np.ndarray) -> np.ndarray:

@@ -112,8 +112,16 @@ class GaussianProcess:
         return (np.asarray(mean) * self.y_std + self.y_mean,
                 np.asarray(var) * self.y_std ** 2)
 
-    def expected_improvement(self, x_star: np.ndarray) -> np.ndarray:
+    def expected_improvement(self, x_star: np.ndarray,
+                             best_y: float | None = None) -> np.ndarray:
+        """EI toward minimisation.  ``best_y`` overrides the incumbent (in
+        the *original* y units) — required for constrained EI, where the
+        incumbent must be the best *feasible* observation, not the global
+        best."""
         mean, var = _posterior(self.theta, self.x, self.y,
                                jnp.asarray(x_star, jnp.float32))
-        best = jnp.min(self.y)
+        if best_y is None:
+            best = jnp.min(self.y)
+        else:
+            best = jnp.asarray((best_y - self.y_mean) / self.y_std, jnp.float32)
         return np.asarray(_expected_improvement(mean, var, best))

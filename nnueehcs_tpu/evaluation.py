@@ -389,6 +389,13 @@ class PercentileScoreEvaluation(UncertaintyEvaluationMetric):
 # ---------------------------------------------------------------------------
 # cost metrics
 # ---------------------------------------------------------------------------
+def _device_memory_stats() -> dict:
+    try:
+        return jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+
+
 def _device_peak_memory_mb() -> float:
     try:
         stats = jax.local_devices()[0].memory_stats()
@@ -401,14 +408,37 @@ def _device_peak_memory_mb() -> float:
 
 
 class MaxMemoryUsageEvaluation(EvaluationMetric):
+    """Device memory needed by one UE pass at the combined batch shape.
+
+    Primary measure: the compiled program's static buffer assignment
+    (``model.eval_pass_memory_mb``) — XLA's per-pass peak, the TPU-native
+    analogue of the reference's CUDA peak-stats delta (reference
+    ``nnueehcs/evaluation.py:383-412``).  Falls back to a live
+    ``bytes_in_use``/``peak_bytes_in_use`` delta around an actual pass,
+    then to process RSS, on backends without memory analysis.
+    """
+
     name = 'max_memory_usage'
 
     def evaluate(self, model, id_data: tuple, ood_data: tuple) -> dict:
         model.eval()
-        gc.collect()
         combined = np.concatenate([np.asarray(id_data[0]), np.asarray(ood_data[0])])
-        _block(model(combined, return_ue=True))
-        return {'max_memory_usage': _device_peak_memory_mb()}
+        mb = None
+        if hasattr(model, 'eval_pass_memory_mb'):
+            try:
+                mb = model.eval_pass_memory_mb(combined, return_ue=True)
+            except Exception:
+                mb = None
+        if mb is None:
+            gc.collect()
+            before = _device_memory_stats().get('bytes_in_use', 0)
+            _block(model(combined, return_ue=True))
+            peak = _device_memory_stats().get('peak_bytes_in_use')
+            if peak is not None and peak > before:
+                mb = (peak - before) / (1024 * 1024)
+            else:
+                mb = _device_peak_memory_mb()
+        return {'max_memory_usage': float(mb)}
 
     @classmethod
     def get_objectives(cls):
@@ -834,7 +864,11 @@ def _create_single_evaluator(metric_config: dict) -> EvaluationMetric:
             kwargs['num_warmup'] = metric_config['warmup']
         return BaseModelRuntimeEvaluation(**kwargs)
     elif name == 'uncertainty_estimating_runtime':
-        return UncertaintyEstimatingRuntimeEvaluation()
+        # compat note: the reference constructs this one without consulting
+        # the config (reference ``nnueehcs/evaluation.py:751-752``), so a
+        # configured ``trials``/``warmup`` was silently ignored there; we
+        # honor it.
+        return UncertaintyEstimatingRuntimeEvaluation.from_config(metric_config)
     elif name == 'uncertainty_estimating_throughput':
         return UncertaintyEstimatingThroughputEvaluation.from_config(metric_config)
     elif name == 'mean_score':

@@ -230,6 +230,47 @@ class WrappedModelBase:
             return tuple(trim(o) for o in out)
         return trim(out)
 
+    # ------------------------------------------------------------- memory
+    def eval_pass_memory_mb(self, x, return_ue: bool = True):
+        """Per-pass device-memory footprint (MB) of the compiled UE-eval
+        program at this batch shape: arguments (params + input) + XLA temp
+        buffers + outputs from the executable's buffer assignment.
+
+        The TPU-native equivalent of the reference's CUDA
+        ``reset_peak_memory_stats`` / ``max_memory_allocated`` delta
+        (reference ``nnueehcs/evaluation.py:383-412``): XLA plans a static
+        buffer assignment per program at compile time, so the analysis *is*
+        the per-pass peak — independent of process history, unlike the
+        device's lifetime ``peak_bytes_in_use`` counter.  Returns ``None``
+        when the backend exposes no memory analysis.
+        """
+        if not self.initialized:
+            raise RuntimeError('Model parameters are not initialised')
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        n = min(x.shape[0], _MAX_BUCKET)
+        bucket = _bucket_size(n)
+        if self._mesh is not None and 'dp' in self._mesh.axis_names:
+            dp = self._mesh.shape['dp']
+            bucket = -(-bucket // dp) * dp
+        fn = jax.jit(
+            lambda p, s, xx, r: self.eval_output(p, s, xx, r, return_ue=return_ue))
+        shapeof = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), t)
+        x_spec = jax.ShapeDtypeStruct((bucket,) + x.shape[1:], x.dtype)
+        try:
+            compiled = fn.lower(shapeof(self.params), shapeof(self.state),
+                                x_spec, self._eval_rng()).compile()
+            ma = compiled.memory_analysis()
+            total = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                     + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        except Exception:
+            return None
+        if total <= 0:
+            return None
+        return total / (1024 * 1024)
+
     # ------------------------------------------------------------ conversion
     def to(self, target):
         """Cast parameters to a dtype, or place them on a device."""

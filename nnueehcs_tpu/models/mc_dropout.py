@@ -47,10 +47,26 @@ class MCDropoutModel(WrappedModelBase):
         # for the fully-specified, cross-backend-stable stream.
         import os
         impl = os.environ.get('NNUEEHCS_TPU_PRNG_IMPL', 'rbg')
-        self._sample_key = jax.random.key(0, impl=impl)
+        self._prng_impl = impl
+        self.reseed(0)
+
+    def reseed(self, seed: int):
+        """Reset the sampling stream.  Two consecutive evaluations draw
+        *different* MC samples (a per-call counter is folded into the key,
+        matching the reference's consumption of torch's global RNG);
+        ``reseed(s)`` restores reproducibility — the next call repeats the
+        stream of the first call after any ``reseed(s)``."""
+        self._base_key = jax.random.key(seed, impl=self._prng_impl)
+        self._eval_calls = 0
+        # kept for backward compatibility: the key the *next* call will use
+        self._sample_key = jax.random.fold_in(self._base_key, 0)
+        return self
 
     def _eval_rng(self):
-        return self._sample_key
+        k = jax.random.fold_in(self._base_key, self._eval_calls)
+        self._eval_calls += 1
+        self._sample_key = k
+        return k
 
     # ------------------------------------------------------ fused fast path
     def __call__(self, x, return_ue: bool = False):
@@ -80,8 +96,13 @@ class MCDropoutModel(WrappedModelBase):
     def eval_output(self, params, state, x, rng, return_ue: bool = False):
         if getattr(self, '_fused_active', False):
             from ..ops.fused_ensemble import fused_mc_dropout_eval
+            # thread the model's PRNG stream into the kernel's on-chip
+            # generator: the fused seed is a pure function of the same
+            # per-call key the jax.random path would consume
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(rng, (), jnp.uint32), jnp.int32)
             out = fused_mc_dropout_eval(self.net, params, state, x,
-                                        self.num_samples)
+                                        self.num_samples, seed=seed)
             if out is not None:
                 mean, std = out
                 mean = mean.astype(x.dtype)

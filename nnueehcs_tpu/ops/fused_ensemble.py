@@ -388,12 +388,14 @@ def _fused_mc_forward(x_pad, seed, ws, bs, num_samples, relus, keeps,
 
 
 def fused_mc_dropout_eval(net, params, state, x, num_samples: int,
-                          seed: int = 0):
+                          seed=0):
     """(mean, std) over ``num_samples`` stochastic dropout passes with all
     weights VMEM-resident and masks generated by the on-chip PRNG.  The
     random stream differs from the jax.random path — statistically
     equivalent dropout (verified: deviation matches inter-seed sampling
-    noise).  Returns None when the net is not fusable."""
+    noise).  ``seed`` may be a Python int or a traced int32 scalar (the
+    model threads its per-call PRNG stream through here).  Returns None
+    when the net is not fusable."""
     result = fold_mc_dropout_params(net, params, state)
     if result is None:
         return None
@@ -411,7 +413,7 @@ def fused_mc_dropout_eval(net, params, state, x, num_samples: int,
 
     x_p = jnp.zeros((bpad, dpad), jnp.float32)
     x_p = x_p.at[:b_rows, :x.shape[1]].set(x.astype(jnp.float32))
-    seed_arr = jnp.asarray([[seed]], jnp.int32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
 
     mean, std = _fused_mc_forward(x_p, seed_arr, tuple(ws), tuple(bs),
                                   num_samples, tuple(relus), keeps,

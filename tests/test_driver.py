@@ -131,3 +131,21 @@ def test_register_custom_uq_method():
             get_model_builder_class('nope')
     finally:
         UQ_METHOD_REGISTRY.pop('my_method', None)
+
+
+def test_restart_of_complete_run_is_noop(mini_config, tmp_path):
+    """A restarted run counts its restored successes toward the quota
+    (deliberate divergence from the reference, which zeroes the counter
+    after restart — ``bo.py:352`` — so a 45/50 restart could never
+    finish).  Restarting an already-complete run must add no trials."""
+    out = str(tmp_path / 'results')
+    results = run_bo_experiment('minibude', 'ensemble', mini_config, 'tails',
+                                out)
+    n_done = len(results)
+    assert n_done == mini_config['bo_config']['trials']
+
+    results2 = run_bo_experiment('minibude', 'ensemble', mini_config, 'tails',
+                                 out, restart=True)
+    assert len(results2) == n_done
+    base = os.path.join(out, 'minibude', 'tails', 'ensemble')
+    assert not os.path.exists(os.path.join(base, f'bo_trial_{n_done}'))

@@ -413,3 +413,45 @@ def test_jsd_multidim_tuple_path():
     from scipy.spatial.distance import jensenshannon
     ref = np.mean([jensenshannon(p1[i], p2[i]) for i in range(10)])
     assert val == pytest.approx(ref, rel=1e-6)
+
+
+def test_ue_runtime_metric_honors_config():
+    """Compat fix: the reference builds uncertainty_estimating_runtime
+    without consulting trials/warmup config (reference
+    ``evaluation.py:751-752``); we honor them."""
+    from nnueehcs_tpu.evaluation import _create_single_evaluator
+    m = _create_single_evaluator({'name': 'uncertainty_estimating_runtime',
+                                  'trials': 3, 'warmup': 1})
+    assert m.num_trials == 3
+    assert m.num_warmup == 1
+    # defaults unchanged
+    m = _create_single_evaluator({'name': 'uncertainty_estimating_runtime'})
+    assert m.num_trials == 20
+    assert m.num_warmup == 5
+
+
+def test_max_memory_usage_measures_the_pass():
+    """Per-pass memory must scale with the evaluated batch (the reference
+    resets CUDA peak stats per pass, ``evaluation.py:383-412``); a
+    lifetime-peak reading would make consecutive different-size passes
+    report identical numbers."""
+    import jax
+    from nnueehcs_tpu.evaluation import MaxMemoryUsageEvaluation
+    from nnueehcs_tpu.model_builder import EnsembleModelBuilder
+
+    descr = [{'Linear': {'args': [8, 64]}}, {'ReLU': {}},
+             {'Linear': {'args': [64, 1]}}]
+    model = EnsembleModelBuilder(descr, {'num_models': 4}).build()
+    model.init(jax.random.PRNGKey(0), (8,))
+
+    def data(n):
+        x = np.random.randn(n, 8).astype(np.float32)
+        return (x, np.zeros((n, 1), np.float32))
+
+    metric = MaxMemoryUsageEvaluation()
+    # big batch FIRST: under lifetime-peak semantics the later small batch
+    # would report the large pass's peak
+    big = metric.evaluate(model, data(4000), data(4000))['max_memory_usage']
+    small = metric.evaluate(model, data(100), data(100))['max_memory_usage']
+    assert big > 0 and small > 0
+    assert small < big

@@ -136,3 +136,26 @@ def test_duq_anchorless_eval_returns_doubled_batch():
     pred, ue = model(x, return_ue=True)
     assert np.asarray(pred).shape == (10, 1)
     assert np.asarray(ue).shape == (10, 1)
+
+
+def test_mc_dropout_stream_advances_and_reseeds(descr):
+    """Two consecutive evaluations draw different MC samples (the
+    reference consumes torch's global RNG across calls); reseed()
+    restores the stream for reproducibility studies."""
+    import jax
+    model = MCDropoutModelBuilder(
+        descr, {'num_samples': 8, 'dropout_percent': 0.5}).build()
+    model.init(jax.random.PRNGKey(0), (16,))
+    x = np.random.randn(32, 16).astype(np.float32)
+
+    _, ue1 = model(x, return_ue=True)
+    _, ue2 = model(x, return_ue=True)
+    assert not np.allclose(np.asarray(ue1), np.asarray(ue2))
+
+    model.reseed(0)
+    _, ue3 = model(x, return_ue=True)
+    np.testing.assert_allclose(np.asarray(ue1), np.asarray(ue3), rtol=1e-6)
+
+    model.reseed(123)
+    _, ue4 = model(x, return_ue=True)
+    assert not np.allclose(np.asarray(ue1), np.asarray(ue4))

@@ -470,9 +470,13 @@ class RuntimeEvaluation(EvaluationMetric):
     def _evaluate(self, model, id_data, ood_data, eval_functor: Callable,
                   return_raw: bool = False) -> dict:
         from .utils.timing import timed_passes
+        import jax.numpy as jnp
         model.eval()
-        data_combined = np.concatenate([np.asarray(id_data[0]),
-                                        np.asarray(ood_data[0])])
+        # device-resident once, like the reference's pre-timing
+        # ``.to(model.device)`` (reference ``bo.py:219-223``) — otherwise
+        # every timed pass would re-pay the host→device transfer
+        data_combined = jnp.asarray(np.concatenate(
+            [np.asarray(id_data[0]), np.asarray(ood_data[0])]))
         runtimes = timed_passes(lambda: eval_functor(model, data_combined),
                                 self.num_warmup, self.num_trials)
         result = {'runtime': float(np.mean(runtimes)),

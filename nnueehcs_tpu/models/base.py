@@ -87,6 +87,28 @@ class WrappedModelBase:
             return
         self.train_config.update(train_config)
         self.loss = self.get_loss_fn(self.train_config['loss'])
+        if 'precision' in self.train_config:
+            self.set_precision(self.train_config['precision'])
+
+    # Lightning-style precision strings → compute dtype.  fp16 is not a TPU
+    # dtype; asking for it is an error, not a silent downgrade.
+    _PRECISIONS = {None: None, '32': None, '32-true': None, 32: None,
+                   'bf16': jnp.bfloat16, 'bf16-mixed': jnp.bfloat16,
+                   'bf16-true': jnp.bfloat16}
+
+    def set_precision(self, precision):
+        """Set the compute precision: activations and GEMM operands run in
+        the compute dtype (bf16 on the MXU fast path) while parameters stay
+        f32 master weights and every matmul accumulates in f32.  Outputs are
+        returned in the input dtype, so UE statistics and losses stay f32."""
+        if precision not in self._PRECISIONS:
+            raise ValueError(
+                f'Unsupported precision {precision!r}; TPU options: '
+                f"'32-true' (default) or 'bf16-mixed'")
+        self.precision = precision
+        self.net.compute_dtype = self._PRECISIONS[precision]
+        self.invalidate_cache()
+        return self
 
     def set_validation_config(self, validation_config):
         if validation_config is None:

@@ -88,8 +88,13 @@ class Linear(Layer):
 
     def apply(self, params, state, x, mode: Mode, rng=None):
         # accumulate in f32 regardless of operand dtype (canonical TPU
-        # pattern: bf16 operands on the MXU, f32 accumulation)
-        y = jnp.dot(x, params['w'], preferred_element_type=jnp.float32)
+        # pattern: bf16 operands on the MXU, f32 accumulation).  Master
+        # weights stay f32; under a bf16 compute dtype the cast below puts
+        # both GEMM operands in bf16 so the MXU runs its fast path.
+        w = params['w']
+        if w.dtype != x.dtype:
+            w = w.astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         if self.bias:
             y = y + params['b'].astype(jnp.float32)
         return y.astype(x.dtype), state
@@ -128,14 +133,18 @@ class Conv2d(Layer):
         return params, {}, out_shape
 
     def apply(self, params, state, x, mode: Mode, rng=None):
+        w = params['w']
+        if w.dtype != x.dtype:
+            w = w.astype(x.dtype)   # bf16 conv operands, f32 accumulation
         y = jax.lax.conv_general_dilated(
-            x, params['w'],
+            x, w,
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+            preferred_element_type=jnp.float32)
         if self.bias:
             y = y + params['b'][None, :, None, None]
-        return y, state
+        return y.astype(x.dtype), state
 
 
 @dataclasses.dataclass(frozen=True)

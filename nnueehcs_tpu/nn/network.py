@@ -83,6 +83,11 @@ class Network:
         self.layers = tuple(layers)
         # Retain the YAML description so checkpoints can rebuild the network.
         self.architecture = copy.deepcopy(architecture)
+        # Mixed-precision compute dtype (e.g. jnp.bfloat16): activations are
+        # cast at entry and restored at exit; parameters stay f32 master
+        # weights and every Linear/Conv GEMM accumulates in f32 on the MXU.
+        # Set via WrappedModelBase.set_precision / trainer ``precision``.
+        self.compute_dtype = None
 
     def __len__(self):
         return len(self.layers)
@@ -98,6 +103,13 @@ class Network:
         return tuple(params), tuple(state)
 
     def apply(self, params, state, x, mode: Mode = EVAL_MODE, rng=None):
+        import jax.numpy as jnp
+        cd = getattr(self, 'compute_dtype', None)
+        out_dtype = None
+        if cd is not None and jnp.issubdtype(x.dtype, jnp.floating) \
+                and x.dtype != cd:
+            out_dtype = x.dtype
+            x = x.astype(cd)
         new_state = []
         for i, layer in enumerate(self.layers):
             layer_rng = None
@@ -105,6 +117,8 @@ class Network:
                 layer_rng = jax.random.fold_in(rng, i)
             x, s = layer.apply(params[i], state[i], x, mode, rng=layer_rng)
             new_state.append(s)
+        if out_dtype is not None:
+            x = x.astype(out_dtype)
         return x, tuple(new_state)
 
     def has_state(self, state) -> bool:

@@ -65,11 +65,36 @@ def member_sharding(mesh: Mesh) -> NamedSharding:
     return replicated(mesh)
 
 
+def param_spec(leaf, mesh: Mesh, member_stacked: bool = False) -> P:
+    """PartitionSpec for one parameter/state leaf:
+
+    - the stacked-member leading axis shards over ``member`` (ensembles),
+    - the last (output-feature) axis of ≥2-D leaves shards over ``tp``
+      (hidden-dimension tensor parallel) when the mesh has a ``tp`` axis
+      and the feature dim divides evenly — XLA's SPMD partitioner then
+      splits every GEMM column-wise and inserts the ICI collectives,
+    - everything else is replicated.
+    """
+    if leaf.ndim == 0:
+        return P()
+    spec = [None] * leaf.ndim
+    if member_stacked and 'member' in mesh.axis_names:
+        spec[0] = 'member'
+    feat_dims = leaf.ndim - (1 if member_stacked else 0)
+    if 'tp' in mesh.axis_names and feat_dims >= 1 and leaf.ndim >= 2 \
+            and leaf.shape[-1] % mesh.shape['tp'] == 0:
+        spec[-1] = 'tp'
+    return P(*spec)
+
+
 def shard_params(params, mesh: Mesh, member_stacked: bool = False):
-    """Place a parameter pytree on the mesh: replicated, or leading-axis
-    sharded over 'member' for stacked ensembles."""
-    sh = member_sharding(mesh) if member_stacked else replicated(mesh)
-    return jax.device_put(params, sh)
+    """Place a parameter pytree on the mesh: leading-axis sharded over
+    'member' for stacked ensembles, last-feature-axis sharded over 'tp'
+    when the mesh has one, replicated otherwise (see :func:`param_spec`)."""
+    return jax.tree_util.tree_map(
+        lambda l: jax.device_put(
+            l, NamedSharding(mesh, param_spec(l, mesh, member_stacked))),
+        params)
 
 
 def constrain_batch(x, mesh: Mesh):

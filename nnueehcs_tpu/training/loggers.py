@@ -26,6 +26,11 @@ class CSVLogger:
         self._rows = []
         self._keys = []
         self._hparams = {}
+        # incremental-save bookkeeping: rewrite the file only when the
+        # column set changes, otherwise append new rows (save() runs every
+        # epoch; a full rewrite would make long fits quadratic in epochs)
+        self._flushed = 0
+        self._flushed_keys = None
 
     @staticmethod
     def _next_version(root: str) -> str:
@@ -66,11 +71,19 @@ class CSVLogger:
             return
         os.makedirs(self.log_dir, exist_ok=True)
         path = os.path.join(self.log_dir, 'metrics.csv')
-        with open(path, 'w', newline='') as f:
+        fresh = (self._flushed_keys != self._keys
+                 or not os.path.exists(path))
+        start = 0 if fresh else self._flushed
+        if start >= len(self._rows) and not fresh:
+            return
+        with open(path, 'w' if fresh else 'a', newline='') as f:
             writer = csv.DictWriter(f, fieldnames=self._keys)
-            writer.writeheader()
-            for row in self._rows:
+            if fresh:
+                writer.writeheader()
+            for row in self._rows[start:]:
                 writer.writerow(row)
+        self._flushed = len(self._rows)
+        self._flushed_keys = list(self._keys)
 
     def finalize(self):
         self.save()

@@ -100,6 +100,9 @@ class Trainer:
         self.gradient_clip_val = cfg.get('gradient_clip_val', None)
         self.overfit_batches = cfg.get('overfit_batches', 0)
         self.accelerator = cfg.get('accelerator', 'auto')
+        # Lightning-style precision flag ('32-true' default, 'bf16-mixed'
+        # for bf16 MXU compute with f32 master weights/accumulation)
+        self.precision = cfg.get('precision', None)
         self.seed = cfg.get('seed', 42)
         # mesh: None (single device), 'auto' (all devices on dp), or an
         # {axis: size} dict like {'dp': 4, 'member': 2}
@@ -196,11 +199,18 @@ class Trainer:
             nb_full = n // bs if train_dl.drop_last else -(-n // bs)
             nb_train = max(_resolve_limit(self.limit_train_batches, nb_full), 1)
             shuffle = train_dl.shuffle
-            x_val = jnp.asarray(val_dl.inputs, dtype)
-            y_val = jnp.asarray(val_dl.outputs, dtype)
             val_bs = val_dl.batch_size
-            nb_val_full = -(-x_val.shape[0] // val_bs)
+            n_val_avail = len(val_dl.inputs)
+            nb_val_full = -(-n_val_avail // val_bs)
             nb_val = max(_resolve_limit(self.limit_val_batches, nb_val_full), 1)
+            # limit_val_batches reads only the first nb_val batches
+            # (Lightning semantics, shuffle=False val loaders) — transfer
+            # only those rows; at 16.7M-row datasets the full copy would
+            # cost seconds of host→device bandwidth per trial for rows
+            # validation never touches
+            val_lim = min(nb_val * val_bs, n_val_avail)
+            x_val = jnp.asarray(val_dl.inputs[:val_lim], dtype)
+            y_val = jnp.asarray(val_dl.outputs[:val_lim], dtype)
 
         # ----- model init
         root_key = jax.random.PRNGKey(self.seed)
@@ -208,6 +218,11 @@ class Trainer:
         if not model.initialized:
             model.init(init_key, x_train.shape[1:])
         model.to(dtype)
+        if self.precision is not None:
+            # record on the model so the checkpointed bundle restores the
+            # same compute precision at load/eval time
+            model.train_config['precision'] = self.precision
+            model.set_precision(self.precision)
 
         # ----- optional mesh sharding (dp over batch, member over ensembles)
         if self.mesh_config:
@@ -232,8 +247,12 @@ class Trainer:
         # ----- jitted programs
         mesh = self.mesh
 
-        def train_step(params, state, opt_state, idx, lr, rng):
-            xb, yb = x_train[idx], y_train[idx]
+        # NB: the training arrays are explicit jit *arguments*, never closure
+        # captures — a closed-over device array is baked into the program as
+        # an HLO constant, which bloats every compile (and overflows the
+        # axon remote-compile request at multi-GB datasets).
+        def train_step(params, state, opt_state, xt, yt, idx, lr, rng):
+            xb, yb = xt[idx], yt[idx]
             if mesh is not None:
                 from ..parallel.mesh import constrain_batch
                 xb = constrain_batch(xb, mesh)
@@ -248,13 +267,14 @@ class Trainer:
 
         train_step_jit = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
-        def epoch_scan(params, state, opt_state, idx_mat, lr, epoch_rng):
+        def epoch_scan(params, state, opt_state, xt, yt, idx_mat, lr,
+                       epoch_rng):
             def body(carry, inp):
                 params, state, opt_state = carry
                 idx, step_i = inp
                 rng = jax.random.fold_in(epoch_rng, step_i)
                 params, state, opt_state, loss = train_step(
-                    params, state, opt_state, idx, lr, rng)
+                    params, state, opt_state, xt, yt, idx, lr, rng)
                 return (params, state, opt_state), loss
             steps = jnp.arange(idx_mat.shape[0])
             (params, state, opt_state), losses = jax.lax.scan(
@@ -263,22 +283,43 @@ class Trainer:
 
         epoch_scan_jit = jax.jit(epoch_scan, donate_argnums=(0, 1, 2))
 
-        def epoch_with_val(params, state, opt_state, idx_mat, lr, epoch_rng,
-                           val_xs, val_ys, val_rngs):
-            """Train epoch + validation fused into ONE program — a single
-            host sync per epoch (used when no hook needs to act between
-            the train and validation phases)."""
+        # static batching geometry (constant across epochs)
+        full_avail = n // bs
+        full_batches = min(nb_train, full_avail)
+        tail_len = n % bs
+        has_tail = (not train_dl.drop_last) and tail_len > 0 \
+            and nb_train > full_batches
+        sample_n = full_batches * bs
+
+        def epoch_with_val(params, state, opt_state, xt, yt, perm, offset,
+                           lr, epoch_rng, val_xs, val_ys, epoch_idx,
+                           nb_val_, val_key_):
+            """Train epoch + validation fused into ONE program, with the
+            epoch's batch indices sliced from the device-resident
+            permutation and the validation RNGs derived on device — a
+            single dispatch and a single host sync per epoch."""
+            idx_flat = jax.lax.dynamic_slice(perm, (offset,), (sample_n,))
+            idx_mat = idx_flat.reshape(full_batches, bs)
             params, state, opt_state, losses = epoch_scan(
-                params, state, opt_state, idx_mat, lr, epoch_rng)
+                params, state, opt_state, xt, yt, idx_mat, lr, epoch_rng)
+
+            val_rngs = jax.vmap(
+                lambda b: jax.random.fold_in(val_key_,
+                                             epoch_idx * 100003 + b))(
+                jnp.arange(nb_val_))
 
             def vbody(_, inp):
                 xb, yb, rng = inp
                 return None, model.validation_loss(params, state, (xb, yb),
                                                    rng)
             _, vlosses = jax.lax.scan(vbody, None, (val_xs, val_ys, val_rngs))
-            return params, state, opt_state, losses, jnp.mean(vlosses)
+            # train losses and the epoch val loss ride ONE host transfer
+            out = jnp.concatenate([losses.astype(jnp.float32),
+                                   jnp.mean(vlosses)[None].astype(jnp.float32)])
+            return params, state, opt_state, out
 
-        fused_epoch_jit = jax.jit(epoch_with_val, donate_argnums=(0, 1, 2))
+        fused_epoch_jit = jax.jit(epoch_with_val, donate_argnums=(0, 1, 2),
+                                  static_argnums=(12,))
 
         val_cache = {}
 
@@ -342,27 +383,30 @@ class Trainer:
 
         params, state, opt = model.params, model.state, opt_state
 
+        # ---- shuffle plan: a full permutation of n rows costs a device
+        # sort; when limit_train_batches samples only a slice of the data
+        # (sample_n << n), one permutation serves ``windows`` epochs as
+        # disjoint random windows — each epoch still trains on a uniformly
+        # random, within-epoch-shuffled subset, and the permutation is
+        # refreshed every ``windows`` epochs.  (The reference re-shuffles
+        # every epoch; disjoint windows of one shuffle mix at least as well
+        # across epochs and cost 1/windows of the sorts.)
+        windows = max(1, n // sample_n) if (shuffle and not has_tail) else 1
+        perm = None if shuffle else jnp.arange(n)
+
         fit_start = time.time()
         for epoch in range(self.max_epochs):
             self.current_epoch = epoch
 
-            # ---- shuffled batch index matrix for this epoch
-            if shuffle:
+            if shuffle and epoch % windows == 0:
                 perm = jax.random.permutation(
                     jax.random.fold_in(shuffle_key, epoch), n)
-            else:
-                perm = jnp.arange(n)
+            offset = (epoch % windows) * sample_n
+            offset_dev = jnp.asarray(offset, jnp.int32)
             # full-size batches feed the scan; a trailing partial batch
             # (drop_last=False, within the batch limit) runs as one extra
             # step so the tail rows still train (Lightning semantics)
-            full_avail = n // bs
-            full_batches = min(nb_train, full_avail)
-            tail_len = n % bs
-            has_tail = (not train_dl.drop_last) and tail_len > 0 \
-                and nb_train > full_batches
-            idx_mat = perm[:full_batches * bs].reshape(full_batches, bs)
-            tail_idx = perm[full_batches * bs:
-                            full_batches * bs + tail_len] if has_tail else None
+            tail_idx = perm[sample_n:sample_n + tail_len] if has_tail else None
 
             lr = jnp.asarray(base_lr * lr_scale, jnp.float32)
             epoch_rng = jax.random.fold_in(train_key, epoch)
@@ -375,16 +419,14 @@ class Trainer:
             fused_ok = (val_xs is not None and not batch_hooks
                         and not has_tail and full_batches > 0)
             if fused_ok:
-                val_rngs = jax.vmap(
-                    lambda b: jax.random.fold_in(val_key,
-                                                 epoch * 100003 + b))(
-                    jnp.arange(nb_val))
-                params, state, opt, losses, vl_dev = fused_epoch_jit(
-                    params, state, opt, idx_mat, lr, epoch_rng,
-                    val_xs, val_ys, val_rngs)
+                params, state, opt, larr = fused_epoch_jit(
+                    params, state, opt, x_train, y_train, perm, offset_dev,
+                    lr, epoch_rng, val_xs, val_ys,
+                    jnp.asarray(epoch, jnp.int32), nb_val, val_key)
                 model.params, model.state = params, state
-                losses_np = np.asarray(losses)       # the one host sync
-                vl = float(vl_dev)
+                arr = np.asarray(larr)               # the one host sync
+                losses_np = arr[:-1]
+                vl = float(arr[-1])
                 self._log_epoch(losses_np, epoch)
                 for h in hooks:
                     h.on_train_epoch_end(self, model)
@@ -401,13 +443,16 @@ class Trainer:
                     break
                 continue
 
+            idx_mat = jax.lax.dynamic_slice(
+                perm, (offset,), (sample_n,)).reshape(full_batches, bs) \
+                if full_batches else jnp.zeros((0, bs), jnp.int32)
             if batch_hooks or full_batches == 0:
                 losses = []
                 for b in range(full_batches):
                     idx = idx_mat[b]
                     rng = jax.random.fold_in(epoch_rng, b)
                     params, state, opt, loss = train_step_jit(
-                        params, state, opt, idx, lr, rng)
+                        params, state, opt, x_train, y_train, idx, lr, rng)
                     losses.append(loss)
                     batch = (x_train[idx], y_train[idx])
                     model.params, model.state = params, state
@@ -416,12 +461,13 @@ class Trainer:
                 losses = jnp.stack(losses) if losses else jnp.zeros((0,))
             else:
                 params, state, opt, losses = epoch_scan_jit(
-                    params, state, opt, idx_mat, lr, epoch_rng)
+                    params, state, opt, x_train, y_train, idx_mat, lr,
+                    epoch_rng)
 
             if has_tail:
                 rng = jax.random.fold_in(epoch_rng, full_batches)
                 params, state, opt, tail_loss = train_step_jit(
-                    params, state, opt, tail_idx, lr, rng)
+                    params, state, opt, x_train, y_train, tail_idx, lr, rng)
                 losses = jnp.concatenate([losses, tail_loss[None]])
                 if batch_hooks:
                     batch = (x_train[tail_idx], y_train[tail_idx])

@@ -108,3 +108,61 @@ def test_sharded_kde_matches_single_device():
     single = np.asarray(kde_logpdf(q, ref, 0.4))
     sharded = np.asarray(kde_logpdf_sharded(q, ref, 0.4, mesh))
     assert np.allclose(single, sharded, atol=1e-4)
+
+
+def test_tp_mesh_training_and_eval(data):
+    """dp×member×tp mesh through library code only (VERDICT r1 #6):
+    Trainer.mesh_config accepts a tp axis, shard_params puts the last
+    feature axis of weights on tp, and training + UE eval execute with
+    results matching the single-device run."""
+    x, y = data
+    m_ref = EnsembleModelBuilder(DESCR, {'num_models': 2},
+                                 train_config={'loss': 'l1_loss'}).build()
+    dl = DataLoader(ArrayDataset(x, y), batch_size=64, shuffle=True,
+                    drop_last=True)
+    cfg = {'accelerator': 'cpu', 'max_epochs': 3, 'gradient_clip_val': 5,
+           'seed': 11}
+    tr_ref = Trainer('tp_ref', cfg, callbacks=[EarlyStopping(patience=100)],
+                     log_dir='/tmp/shard_logs')
+    tr_ref.fit(m_ref, dl, dl)
+    v_ref = tr_ref.callback_metrics['val_loss']
+
+    m = EnsembleModelBuilder(DESCR, {'num_models': 2},
+                             train_config={'loss': 'l1_loss'}).build()
+    cfg_tp = dict(cfg, mesh={'dp': 2, 'member': 2, 'tp': 2})
+    tr = Trainer('tp', cfg_tp, callbacks=[EarlyStopping(patience=100)],
+                 log_dir='/tmp/shard_logs')
+    tr.fit(m, dl, dl)
+
+    # weights really carry the tp sharding on their last axis
+    from jax.sharding import PartitionSpec as P
+    specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(m.params)
+             if l.ndim == 3]
+    assert specs, 'no stacked weight leaves found'
+    assert any(s[-1] == 'tp' for s in specs), specs
+
+    # same seeds -> same trajectory as the unsharded run
+    assert tr.callback_metrics['val_loss'] == pytest.approx(v_ref, rel=1e-3)
+    pred, ue = m(x, return_ue=True)
+    ref_pred, ref_ue = m_ref(x, return_ue=True)
+    assert np.allclose(np.asarray(pred), np.asarray(ref_pred), atol=1e-4)
+    assert np.allclose(np.asarray(ue), np.asarray(ref_ue), atol=1e-4)
+
+
+def test_param_spec_tp_rules():
+    from nnueehcs_tpu.parallel import param_spec
+    mesh = make_mesh({'member': 2, 'tp': 2})
+    w = np.zeros((2, 8, 8), np.float32)       # stacked weight
+    b = np.zeros((2, 8), np.float32)          # stacked bias / BN vector
+    s = np.zeros((2,), np.float32)            # stacked scalar-ish leaf
+    odd = np.zeros((2, 8, 7), np.float32)     # tp does not divide
+    assert tuple(param_spec(w, mesh, True)) == ('member', None, 'tp')
+    assert tuple(param_spec(b, mesh, True)) == ('member', 'tp')
+    assert tuple(param_spec(s, mesh, True)) == ('member',)
+    assert tuple(param_spec(odd, mesh, True)) == ('member', None, None)
+    # non-stacked model on a tp mesh
+    mesh2 = make_mesh({'dp': 4, 'tp': 2})
+    w2 = np.zeros((8, 8), np.float32)
+    b2 = np.zeros((8,), np.float32)
+    assert tuple(param_spec(w2, mesh2, False)) == (None, 'tp')
+    assert tuple(param_spec(b2, mesh2, False)) == (None,)   # replicated

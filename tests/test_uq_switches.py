@@ -1,0 +1,116 @@
+"""Behaviour-switch tests for advertised-but-rarely-used modes:
+``ensemble_loss: per_member`` (models/ensemble.py) and the ΔUQ/PAGER
+``estimator: 'var'`` spread (models/delta_uq.py, models/pager.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnueehcs_tpu.model_builder import (EnsembleModelBuilder,
+                                        DeltaUQMLPModelBuilder,
+                                        PAGERModelBuilder)
+from nnueehcs_tpu.training import Trainer, DataLoader, ArrayDataset
+
+
+DESCR = [{'Linear': {'args': [4, 32]}}, {'ReLU': {}},
+         {'Linear': {'args': [32, 1]}}]
+
+
+def _data(n=64, d=4, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x, x.sum(1, keepdims=True).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# ensemble_loss: per_member
+# ---------------------------------------------------------------------------
+class TestPerMemberEnsembleLoss:
+    def _model(self, mode):
+        m = EnsembleModelBuilder(
+            DESCR, {'num_models': 3},
+            train_config={'loss': 'l1_loss', 'ensemble_loss': mode}).build()
+        m.init(jax.random.PRNGKey(0), (4,))
+        return m
+
+    def test_semantics_vs_joint_mean(self):
+        """per_member averages member-wise losses; joint_mean takes the loss
+        of the averaged prediction.  Verify each against a hand-rolled
+        computation on the same parameters."""
+        x, y = _data()
+        m_pm = self._model('per_member')
+        m_jm = self._model('joint_mean')
+        m_jm.params, m_jm.state = m_pm.params, m_pm.state
+
+        rng = jax.random.PRNGKey(1)
+        loss_pm, _ = m_pm.training_loss(m_pm.params, m_pm.state, (x, y), rng)
+        loss_jm, _ = m_jm.training_loss(m_jm.params, m_jm.state, (x, y), rng)
+
+        outs, _ = m_pm._member_apply(
+            __import__('nnueehcs_tpu.nn.layers', fromlist=['TRAIN_MODE']
+                       ).TRAIN_MODE)(m_pm.params, m_pm.state, x, rng)
+        outs = np.asarray(outs)                       # (N, B, 1)
+        manual_pm = np.mean(np.abs(outs - y[None]))
+        manual_jm = np.mean(np.abs(outs.mean(0) - y))
+        assert float(loss_pm) == pytest.approx(manual_pm, rel=1e-5)
+        assert float(loss_jm) == pytest.approx(manual_jm, rel=1e-5)
+        # with diverse member inits the two losses genuinely differ
+        assert abs(float(loss_pm) - float(loss_jm)) > 1e-4
+
+    def test_per_member_trains_end_to_end(self, tmp_path):
+        x, y = _data(128)
+        m = EnsembleModelBuilder(
+            DESCR, {'num_models': 3},
+            train_config={'loss': 'l1_loss', 'learning_rate': 1e-2,
+                          'ensemble_loss': 'per_member'}).build()
+        tr = Trainer('pm', {'accelerator': 'cpu', 'max_epochs': 40,
+                            'overfit_batches': 1},
+                     callbacks=[], log_dir=str(tmp_path))
+        tr.fit(m, DataLoader(ArrayDataset(x, y), batch_size=64))
+        assert tr.callback_metrics['val_loss'] < 1.0
+        # per-member training keeps members diverse → a real UE signal
+        preds, ue = m(x, return_ue=True)
+        assert np.asarray(ue).shape == (128, 1)
+        assert float(np.mean(np.asarray(ue))) > 0
+
+
+# ---------------------------------------------------------------------------
+# delta_uq / pager estimator: 'var'
+# ---------------------------------------------------------------------------
+class TestVarEstimator:
+    def _delta(self, estimator):
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': estimator, 'num_anchors': 4}).build()
+        m.init(jax.random.PRNGKey(0), (8,))   # builder doubles input features
+        return m
+
+    def test_var_is_square_of_std(self):
+        x, _ = _data(32)
+        m_std = self._delta('std')
+        m_var = self._delta('var')
+        m_var.params, m_var.state = m_std.params, m_std.state
+        anchors = _data(8, seed=3)[0]
+        m_std.anchors = anchors
+        m_var.anchors = anchors
+
+        _, ue_std = m_std(x, return_ue=True)
+        _, ue_var = m_var(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(ue_var),
+                                   np.asarray(ue_std) ** 2,
+                                   rtol=1e-4, atol=1e-7)
+
+    def test_invalid_estimator_rejected(self):
+        with pytest.raises(ValueError):
+            DeltaUQMLPModelBuilder(
+                DESCR, {'estimator': 'nope', 'num_anchors': 4}).build()
+
+    def test_pager_accepts_var(self):
+        x, y = _data(32)
+        m = PAGERModelBuilder(
+            DESCR, {'estimator': 'var', 'num_anchors': 4}).build()
+        m.init(jax.random.PRNGKey(0), (8,))
+        m.anchors = _data(8, seed=3)[0]
+        m.anchors_Y = _data(8, seed=3)[1]
+        preds, ue = m(x, return_ue=True)
+        assert np.asarray(ue).shape == (32, 1)
+        assert np.all(np.asarray(ue) >= 0)

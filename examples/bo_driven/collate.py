@@ -1,139 +1,89 @@
-"""Collate and plot results across one or more experiment output
-directories: per-trial line plots plus max/median bar plots of sensitivity,
-UE time and UE throughput (reference ``examples/bo_driven/collate.py``)."""
+"""Collate results across one or more experiment output directories.
+
+Covers the reference collate tool's outputs (per-trial line plots, max /
+median bar plots, UE-time-at-best-sensitivity bars, and a console summary
+— reference ``examples/bo_driven/collate.py``) with a different
+architecture: the whole tree is flattened into ONE long-format DataFrame
+(one row per benchmark × dataset × method × source × trial) and every
+summary/figure is a pandas groupby over it (:mod:`plotting`).
+"""
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
-import re
 from pathlib import Path
 
 import click
-import matplotlib
-matplotlib.use('Agg')
-import matplotlib.pyplot as plt
 import pandas as pd
+
+import plotting
 
 # metric preference chain for the headline "UE distance" quantity
 _METRIC_FALLBACK = ['wasserstein_distance', 'jensen_shannon_distance',
                     'sensitivity', 'percentile_score', 'score_dist']
 
 
-def print_results(results, indent=0):
-    for key, value in results.items():
-        if isinstance(value, dict):
-            print(' ' * indent, key)
-            print_results(value, indent + 2)
-        else:
-            if value[3] == 'no_file':
-                print(' ' * indent, key, value[3])
-            else:
-                print(' ' * indent, key, value[0], value[1],
-                      round(value[2], 2), round(value[3], 2))
-
-
-def plot_quantity(results, quantity, output):
-    for bench, datasets in results.items():
-        for dataset, methods in datasets.items():
-            fig, ax = plt.subplots()
-            ax.set_title(f'{bench}/{dataset}')
-            plotted = False
-            for method, method_data in sorted(methods.items()):
-                for input_dir_name, data in method_data.items():
-                    tresults = data[5]
-                    if tresults is None or quantity not in tresults.columns:
-                        continue
-                    label = f'{method} ({input_dir_name})'
-                    ax.plot(tresults['trial'], tresults[quantity],
-                            label=label)
-                    plotted = True
-            ax.set_xlabel('Trial')
-            ax.set_ylabel(quantity)
-            if plotted:
-                ax.legend()
-            fig.savefig(f'{output}/{bench}_{dataset}_{quantity}.png')
-            plt.close(fig)
-
-
-def barplot_quantity(results, quantity, output, statistic='max'):
-    for bench, datasets in results.items():
-        for dataset, methods in datasets.items():
-            fig, ax = plt.subplots()
-            ax.set_title(f'{bench}/{dataset}')
-            plotted = False
-            for method, method_data in sorted(methods.items()):
-                for input_dir_name, data in method_data.items():
-                    tresults = data[5]
-                    if tresults is None or quantity not in tresults.columns:
-                        continue
-                    label = f'{method} ({input_dir_name})'
-                    stat = getattr(tresults[quantity], statistic)()
-                    ax.bar(label, stat, label=label)
-                    plotted = True
-            ax.set_xlabel('Method')
-            ax.set_ylabel(quantity)
-            if plotted:
-                ax.legend(loc='center right')
-            ax.set_xticks([])
-            fig.savefig(
-                f'{output}/{bench}_{dataset}_{quantity}_{statistic}_bar.png')
-            plt.close(fig)
-
-
-def barplot_single_quantity(results, quantity, output):
-    for bench, datasets in results.items():
-        for dataset, methods in datasets.items():
-            fig, ax = plt.subplots()
-            ax.set_title(f'{bench}/{dataset}')
-            plotted = False
-            for method, method_data in sorted(methods.items()):
-                for input_dir_name, data in method_data.items():
-                    tresults = data
-                    if tresults is None or quantity not in tresults.columns:
-                        continue
-                    label = f'{method} ({input_dir_name})'
-                    ax.bar(label, tresults[quantity].iloc[0], label=label)
-                    plotted = True
-            ax.set_xlabel('Method')
-            ax.set_ylabel(quantity)
-            if plotted:
-                ax.legend(loc='center right')
-            ax.set_xticks([])
-            fig.savefig(f'{output}/{bench}_{dataset}_{quantity}_bar.png')
-            plt.close(fig)
-
-
-def narrow_to_statistic(results, quantity, statistic='max'):
-    filtered = {}
-    for bench, datasets in results.items():
-        filtered.setdefault(bench, {})
-        for dataset, methods in datasets.items():
-            filtered[bench].setdefault(dataset, {})
-            for method, method_data in sorted(methods.items()):
-                filtered[bench][dataset].setdefault(method, {})
-                for input_dir_name, data in method_data.items():
-                    tresults = data[5]
-                    if tresults is None or quantity not in tresults.columns:
-                        continue
-                    stat = getattr(tresults[quantity], statistic)()
-                    filtered[bench][dataset][method][input_dir_name] = \
-                        tresults[tresults[quantity] == stat]
-    return filtered
-
-
-def get_final_bo_trial(result_files):
-    """Latest finished trial via the shared results-tree helper."""
+def load_results_frame(inputs):
+    """Flatten ``<input>/<benchmark>/<dataset>/<method>/bo_trial_*`` trees
+    into one long DataFrame.  Returns ``(frame, missing)`` where missing
+    lists (source, benchmark, dataset, method) cells with no finished
+    trial."""
     from nnueehcs_tpu.utility import find_latest_finished_trial
-    if not result_files:
-        return None, None
-    return find_latest_finished_trial(Path(result_files[0]).parent)
+    frames, missing = [], []
+    for input_dir in map(Path, inputs):
+        source = input_dir.name
+        for method_dir in sorted(input_dir.glob('*/*/*')):
+            if not method_dir.is_dir():
+                continue
+            bench, dset, method = method_dir.parts[-3:]
+            trial_num, trial_dir = find_latest_finished_trial(method_dir)
+            if trial_dir is None:
+                missing.append((source, bench, dset, method))
+                continue
+            df = pd.read_csv(Path(trial_dir) / 'trial_results.csv')
+            df['source'] = source
+            df['benchmark'] = bench
+            df['dataset'] = dset
+            df['method'] = method
+            df['latest_trial_dir'] = str(trial_dir)
+            frames.append(df)
+    frame = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=['source', 'benchmark', 'dataset', 'method', 'trial'])
+    return frame, missing
 
 
-def _headline_stats(tresults):
+def headline_metric(frame: pd.DataFrame) -> str | None:
+    """First available column from the UE-distance preference chain."""
     for name in _METRIC_FALLBACK:
-        if name in tresults.columns:
-            col = tresults[name]
-            return col.argmax(), col.max(), col.median()
-    return 0, float('nan'), float('nan')
+        if name in frame.columns:
+            return name
+    return None
+
+
+def summarize(frame: pd.DataFrame, missing) -> pd.DataFrame:
+    """Console summary: per cell/series, the headline metric's best trial,
+    best value and median."""
+    metric = headline_metric(frame)
+    rows = []
+    if metric is not None:
+        for key, g in frame.groupby(
+                ['benchmark', 'dataset', 'method', 'source'], sort=True):
+            col = g.dropna(subset=[metric])
+            if col.empty:
+                continue
+            best = col.loc[col[metric].idxmax()]
+            rows.append({
+                'benchmark': key[0], 'dataset': key[1], 'method': key[2],
+                'source': key[3], 'trials': len(g),
+                'best_trial': int(best.get('trial', -1)),
+                f'best_{metric}': round(float(best[metric]), 2),
+                f'median_{metric}': round(float(col[metric].median()), 2),
+            })
+    summary = pd.DataFrame(rows)
+    if len(summary):
+        print(summary.to_string(index=False))
+    for source, bench, dset, method in missing:
+        print(f'{bench}/{dset}/{method} [{source}]: no finished trial')
+    return summary
 
 
 @click.command()
@@ -145,39 +95,23 @@ def main(inputs, output):
     output = Path(output)
     output.mkdir(parents=True, exist_ok=True)
 
-    results = {}
-    for input_dir in inputs:
-        input_dir = Path(input_dir)
-        input_dir_name = input_dir.name
-        for benchdir in input_dir.iterdir():
-            if not benchdir.is_dir():
-                continue
-            bench_results = results.setdefault(benchdir.name, {})
-            for datasetdir in benchdir.iterdir():
-                dataset_results = bench_results.setdefault(datasetdir.name, {})
-                for methoddir in datasetdir.iterdir():
-                    method_results = dataset_results.setdefault(
-                        methoddir.name, {})
-                    trial_num, trial_file = get_final_bo_trial(
-                        list(methoddir.iterdir()))
-                    if trial_file is None:
-                        method_results[input_dir_name] = \
-                            (0, 0, 0, 'no_file', None, None)
-                        continue
-                    tresults = pd.read_csv(f'{trial_file}/trial_results.csv')
-                    max_i, max_v, med_v = _headline_stats(tresults)
-                    method_results[input_dir_name] = \
-                        (trial_num, max_i, max_v, med_v, trial_file, tresults)
+    frame, missing = load_results_frame(inputs)
+    summary = summarize(frame, missing)
+    if len(summary):
+        summary.to_csv(output / 'summary.csv', index=False)
 
-    print_results(results)
-    plot_quantity(results, 'sensitivity', output)
-    barplot_quantity(results, 'sensitivity', output)
-    barplot_quantity(results, 'sensitivity', output, statistic='median')
-    plot_quantity(results, 'ue_time', output)
-    plot_quantity(results, 'ue_throughput', output)
-
-    filtered = narrow_to_statistic(results, 'sensitivity')
-    barplot_single_quantity(filtered, 'ue_time', output)
+    plotting.trial_lines(frame, 'sensitivity', output)
+    plotting.series_bars(frame, 'sensitivity', output)
+    plotting.series_bars(frame, 'sensitivity', output, statistic='median')
+    plotting.trial_lines(frame, 'ue_time', output)
+    plotting.trial_lines(frame, 'ue_throughput', output)
+    plotting.bars_at_best(frame, select_by='sensitivity', show='ue_time',
+                          outdir=output)
+    # the headline metric may differ from sensitivity (BO-time metrics)
+    metric = headline_metric(frame)
+    if metric and metric != 'sensitivity':
+        plotting.trial_lines(frame, metric, output)
+        plotting.series_bars(frame, metric, output)
 
 
 if __name__ == '__main__':

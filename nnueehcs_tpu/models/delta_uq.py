@@ -32,8 +32,15 @@ from ..training.hooks import DeltaUQGetAnchorsHook
 
 
 def anchored_input(x, anchor):
-    """``concat([anchor, x - anchor])`` along the feature axis."""
-    return jnp.concatenate([anchor, x - anchor], axis=-1)
+    """``concat([anchor, x - anchor])`` along the feature axis.
+
+    For flat ``(B, F)`` inputs that is the last axis; for NCHW image
+    batches it is the *channel* axis — the builders double the first
+    Conv2d's ``in_channels`` for CNN architectures (reference imports
+    ``deltaUQ_CNN``, ``nnueehcs/models.py:2``), so the anchored tensor
+    must stack along channels, not image width."""
+    axis = -3 if x.ndim >= 4 else -1
+    return jnp.concatenate([anchor, x - anchor], axis=axis)
 
 
 class DeltaUQMLP(WrappedModelBase):

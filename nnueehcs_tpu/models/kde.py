@@ -120,7 +120,17 @@ class KNNKDEMLPModel(MLPModel):
         pred = super().eval_output(params, state, x, rng, return_ue=False)
         if not return_ue:
             return pred
-        dens = knn_kde_density(x, self._fit_data, self._bandwidth_value, self.k)
+        if self._mesh is not None and 'dp' in self._mesh.axis_names and \
+                self._mesh.shape['dp'] > 1:
+            # fit corpus sharded across the mesh: per-device top-k, ICI
+            # all-gather merge (ops.kde.knn_sq_dists_sharded)
+            from ..ops.kde import knn_kde_density_sharded
+            dens = knn_kde_density_sharded(x, self._fit_data,
+                                           self._bandwidth_value, self.k,
+                                           self._mesh)
+        else:
+            dens = knn_kde_density(x, self._fit_data, self._bandwidth_value,
+                                   self.k)
         return pred, -dens
 
     def __call__(self, x, return_ue: bool = False):

@@ -67,3 +67,52 @@ def test_cnn_ensemble_ue(image_data):
     pred, ue = model(x, return_ue=True)
     assert np.asarray(pred).shape == (64, 1)
     assert float(np.asarray(ue).mean()) > 0
+
+
+def test_cnn_delta_uq_channel_anchoring(image_data):
+    """ΔUQ on a Conv2d-first net: the builder doubles in_channels and the
+    anchored input concatenates along the CHANNEL axis (VERDICT r1 #5 —
+    feature-axis concat would silently feed (1ch anchor | 1ch delta) as a
+    width-doubled 1-channel image)."""
+    import jax
+    from nnueehcs_tpu.model_builder import DeltaUQMLPModelBuilder
+    from nnueehcs_tpu.models.delta_uq import anchored_input
+
+    x, y = image_data
+    model = DeltaUQMLPModelBuilder(
+        CNN_DESCR, {'estimator': 'std', 'num_anchors': 3},
+        train_config={'loss': 'mse_loss'}).build()
+    # first conv now takes 2 channels
+    assert model.net.layers[0].in_channels == 2
+
+    a = np.zeros_like(x)
+    anch = np.asarray(anchored_input(np.asarray(x), a))
+    assert anch.shape == (64, 2, 8, 8)
+
+    dl = DataLoader(ArrayDataset(x, y), batch_size=32, drop_last=True)
+    tr = Trainer('cnn_duq', {'accelerator': 'cpu', 'max_epochs': 2},
+                 callbacks=model.get_callbacks() + [EarlyStopping(patience=100)],
+                 log_dir='/tmp/cnn_logs')
+    tr.fit(model, dl, dl)
+    assert model.anchors is not None and model.anchors.shape[1:] == (1, 8, 8)
+    pred, ue = model(x, return_ue=True)
+    assert np.asarray(pred).shape == (64, 1)
+    assert np.asarray(ue).shape == (64, 1)
+    assert np.all(np.isfinite(np.asarray(ue)))
+
+
+def test_cnn_pager_ue(image_data):
+    from nnueehcs_tpu.model_builder import PAGERModelBuilder
+
+    x, y = image_data
+    model = PAGERModelBuilder(
+        CNN_DESCR, {'estimator': 'std'},
+        train_config={'loss': 'mse_loss'}).build()
+    dl = DataLoader(ArrayDataset(x, y), batch_size=32, drop_last=True)
+    tr = Trainer('cnn_pager', {'accelerator': 'cpu', 'max_epochs': 2},
+                 callbacks=model.get_callbacks() + [EarlyStopping(patience=100)],
+                 log_dir='/tmp/cnn_logs')
+    tr.fit(model, dl, dl)
+    pred, ue = model(x, return_ue=True)
+    assert np.asarray(pred).shape == (64, 1)
+    assert np.all(np.asarray(ue) >= 0)

@@ -21,10 +21,18 @@ import time
 import numpy as np
 
 
-def _build_model(workload: str, num_models: int):
+# flagship arch MAC count per row per member: 5·128 + 5·(128·128) + 128·1
+_MACS_PER_ROW_PER_MEMBER = 128 * (5 + 5 * 128 + 1)
+_V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _build_model(workload: str, num_models: int, precision=None):
     from __graft_entry__ import _flagship
     if workload == 'ensemble':
-        return _flagship(num_models=num_models)
+        m = _flagship(num_models=num_models)
+        if precision:
+            m.set_precision(precision)
+        return m
     from nnueehcs_tpu.model_builder import (MCDropoutModelBuilder,
                                             KDEModelBuilder)
     arch = [{'Linear': {'args': [5, 128]}},
@@ -47,14 +55,14 @@ def _build_model(workload: str, num_models: int):
 
 
 def jax_train_throughput(batch: int, num_models: int, warmup: int,
-                         trials: int):
+                         trials: int, precision=None):
     """Training-step throughput: full fwd+bwd+AdamW update for the
     8-member ensemble (all members simultaneously)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    model = _build_model('ensemble', num_models)
+    model = _build_model('ensemble', num_models, precision=precision)
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale_by_adam())
     opt_state = tx.init(model.params)
     rng = np.random.default_rng(0)
@@ -89,13 +97,14 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
 
 
 def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
-                      workload: str = 'ensemble'):
+                      workload: str = 'ensemble', precision=None):
     import jax
     import jax.numpy as jnp
 
     if workload == 'ensemble_train':
-        return jax_train_throughput(batch, num_models, warmup, trials)
-    model = _build_model(workload, num_models)
+        return jax_train_throughput(batch, num_models, warmup, trials,
+                                    precision=precision)
+    model = _build_model(workload, num_models, precision=precision)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
@@ -177,6 +186,10 @@ def main():
                     choices=['ensemble', 'mc_dropout', 'kde',
                              'ensemble_train'],
                     help='which UQ workload to benchmark (headline: ensemble)')
+    ap.add_argument('--precision', default=None,
+                    choices=['32-true', 'bf16-mixed'],
+                    help='compute precision for the jax model '
+                         '(bf16-mixed: bf16 MXU operands, f32 accumulation)')
     args = ap.parse_args()
 
     if args.quick:
@@ -187,11 +200,22 @@ def main():
         batch = args.batch
 
     tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
-                                      workload=args.workload)
+                                      workload=args.workload,
+                                      precision=args.precision)
     kind = 'train step' if args.workload == 'ensemble_train' else 'ue pass'
+    prec = f' precision={args.precision}' if args.precision else ''
+    # MFU against the v5e bf16 MXU peak (fwd=2·MACs; train≈3× for the two
+    # backward GEMMs), for the flagship ensemble workloads
+    flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * args.num_models
+    if args.workload == 'ensemble_train':
+        flops_per_row *= 3
+    mfu = tpu_tp * flops_per_row / _V5E_BF16_PEAK_FLOPS
+    mfu_note = (f' mfu={100 * mfu:.1f}%'
+                if args.workload in ('ensemble', 'ensemble_train') else '')
     print(f'# jax {args.workload} {kind}: batch={batch} '
-          f'members={args.num_models} '
-          f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s',
+          f'members={args.num_models}{prec} '
+          f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s'
+          f'{mfu_note}',
           file=sys.stderr)
 
     vs_baseline = None

@@ -38,6 +38,11 @@ class KDEFitHook(TrainerHook):
     """Buffer epoch-0 training inputs, fit the KDE at the end of epoch 0
     (reference ``nnueehcs/models.py:225-240``)."""
 
+    # only consumes the batch *data* (never mid-epoch model state), so the
+    # trainer may run the scanned epoch and deliver batches afterwards
+    # instead of dropping to 1000 sequential per-batch dispatches
+    batch_data_only = True
+
     def __init__(self):
         self._train_data_to_fit = []
         self._epochs = 0
@@ -56,6 +61,8 @@ class KDEFitHook(TrainerHook):
 class KNNKDEFitHook(TrainerHook):
     """Same capture, but fit happens at the first validation-epoch start
     (reference ``nnueehcs/models.py:267-281``)."""
+
+    batch_data_only = True
 
     def __init__(self):
         self._train_data_to_fit = []
@@ -76,6 +83,8 @@ class DeltaUQGetAnchorsHook(TrainerHook):
     install them as anchors before the first validation epoch (reference
     ``nnueehcs/models.py:354-369``)."""
 
+    batch_data_only = True
+
     def __init__(self):
         self._train_data_to_fit = []
         self._epochs = 0
@@ -95,6 +104,8 @@ class DeltaUQGetAnchorsHook(TrainerHook):
 class PAGERGetAnchorsHook(TrainerHook):
     """Like :class:`DeltaUQGetAnchorsHook` but also captures anchor targets
     (reference ``nnueehcs/models.py:450-472``)."""
+
+    batch_data_only = True
 
     def __init__(self):
         self._anchor_X = []

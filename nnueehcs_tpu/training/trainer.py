@@ -446,7 +446,12 @@ class Trainer:
             idx_mat = jax.lax.dynamic_slice(
                 perm, (offset,), (sample_n,)).reshape(full_batches, bs) \
                 if full_batches else jnp.zeros((0, bs), jnp.int32)
-            if batch_hooks or full_batches == 0:
+            # hooks that only consume batch *data* (UQ fit/anchor capture)
+            # keep the scanned epoch: batches are delivered afterwards from
+            # the host-side arrays, avoiding per-batch device dispatches
+            data_only = batch_hooks and all(
+                getattr(h, 'batch_data_only', False) for h in batch_hooks)
+            if batch_hooks and not data_only or full_batches == 0:
                 losses = []
                 for b in range(full_batches):
                     idx = idx_mat[b]
@@ -463,6 +468,17 @@ class Trainer:
                 params, state, opt, losses = epoch_scan_jit(
                     params, state, opt, x_train, y_train, idx_mat, lr,
                     epoch_rng)
+                if batch_hooks:   # data_only delivery from host arrays
+                    model.params, model.state = params, state
+                    np_dtype = np.dtype(dtype)
+                    idx_np = np.asarray(idx_mat)
+                    xs_np = np.asarray(train_dl.inputs)
+                    ys_np = np.asarray(train_dl.outputs)
+                    for b in range(full_batches):
+                        batch = (xs_np[idx_np[b]].astype(np_dtype, copy=False),
+                                 ys_np[idx_np[b]].astype(np_dtype, copy=False))
+                        for h in batch_hooks:
+                            h.on_train_batch_end(self, model, batch, b)
 
             if has_tail:
                 rng = jax.random.fold_in(epoch_rng, full_batches)

@@ -320,3 +320,45 @@ class TestMixedPrecision:
         model = EnsembleModelBuilder(network_descr, {'num_models': 2}).build()
         with pytest.raises(ValueError):
             model.set_precision('16-mixed')
+
+
+def test_limit_train_batches_windows_disjoint_and_covering(tmp_path):
+    """With limit_train_batches << dataset size, each epoch trains on a
+    disjoint random window of one permutation (refreshed every
+    n/sample_n epochs) — uniformly random per-epoch subsets without paying
+    a full-dataset sort per epoch."""
+    from nnueehcs_tpu.training.hooks import TrainerHook
+
+    class RecordBatches(TrainerHook):
+        def __init__(self):
+            self.per_epoch = []
+
+        def on_train_batch_end(self, trainer, model, batch, batch_idx):
+            while len(self.per_epoch) <= trainer.current_epoch:
+                self.per_epoch.append([])
+            self.per_epoch[trainer.current_epoch].append(
+                np.asarray(batch[1]).ravel())
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    y = np.arange(n, dtype=np.float32)[:, None]   # row id as target
+    rec = RecordBatches()
+    model = MLPModelBuilder([{'Linear': {'args': [3, 8]}}, {'ReLU': {}},
+                             {'Linear': {'args': [8, 1]}}],
+                            train_config={'loss': 'l1_loss'}).build()
+    tr = Trainer('win', {'accelerator': 'cpu', 'max_epochs': 8,
+                         'limit_train_batches': 4},
+                 callbacks=[rec], log_dir=str(tmp_path))
+    dl = DataLoader(ArrayDataset(x, y), batch_size=32, shuffle=True,
+                    drop_last=True)
+    tr.fit(model, dl, dl)
+
+    epoch_ids = [set(np.concatenate(e).astype(int)) for e in rec.per_epoch]
+    assert all(len(ids) == 128 for ids in epoch_ids)
+    # windows of one permutation are disjoint across its 8 epochs
+    for i in range(len(epoch_ids)):
+        for j in range(i + 1, len(epoch_ids)):
+            assert not (epoch_ids[i] & epoch_ids[j]), (i, j)
+    # ... and together cover the whole dataset
+    assert set().union(*epoch_ids) == set(range(n))

@@ -500,8 +500,12 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
     if len(bo_params.tracking_metric_names) > 1 and opt_manager is not None:
         pareto_results = ax_client.get_pareto_optimal_parameters(
             use_model_predictions=False)
+        # de-noised front over per-objective GP posterior means, matching
+        # the reference's dual export (reference ``bo.py:506-510``)
+        pareto_predictions = ax_client.get_pareto_optimal_parameters(
+            use_model_predictions=True)
         pareto = {'results': _jsonable(pareto_results),
-                  'predictions': _jsonable(pareto_results)}
+                  'predictions': _jsonable(pareto_predictions)}
         opt_manager.save_pareto_parameters(json.dumps(pareto))
 
     return trial_results

@@ -26,11 +26,18 @@ from nnueehcs_tpu.driver import run_bo_experiment
 @click.option('--output', type=click.Path(), help='Name of output directory')
 @click.option('--restart', is_flag=True, default=False,
               help='Restart from a previous run found in output directory')
-def main(benchmark, uq_method, config, dataset, output, restart):
+@click.option('--platform', default=None,
+              help="Pin the JAX platform (e.g. 'cpu'); needed where site "
+                   "hooks pre-register an accelerator and ignore "
+                   "JAX_PLATFORMS")
+def main(benchmark, uq_method, config, dataset, output, restart, platform):
     # defuse inherited SLURM CPU-bind state when fanned out from a scheduler
     for var in ('SLURM_CPU_BIND', 'SLURM_CPU_BIND_LIST', 'SLURM_CPUS_ON_NODE',
                 'SLURM_CPUS_PER_TASK', 'SLURM_CPU_BIND_TYPE', 'SLURM_JOB_NAME'):
         os.environ.pop(var, None)
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     with open(config) as f:
         config_data = yaml.safe_load(f)
     run_bo_experiment(benchmark, uq_method, config_data, dataset, output,

@@ -30,7 +30,7 @@ def get_config(config_filename):
 
 
 def run_bo_task(config_path, benchmark, uq_method, dataset, output,
-                rundir, retries):
+                rundir, retries, platform=None):
     env = dict(os.environ)
     for var in ('SLURM_CPU_BIND', 'SLURM_CPU_BIND_LIST', 'SLURM_CPUS_ON_NODE',
                 'SLURM_CPUS_PER_TASK', 'SLURM_CPU_BIND_TYPE', 'SLURM_JOB_NAME'):
@@ -40,6 +40,8 @@ def run_bo_task(config_path, benchmark, uq_method, dataset, output,
            '--benchmark', benchmark, '--config', config_path,
            '--uq_method', uq_method, '--dataset', dataset,
            '--output', output, '--restart']
+    if platform:
+        cmd += ['--platform', platform]
     os.makedirs(rundir, exist_ok=True)
     log_base = os.path.join(rundir, f'{benchmark}_{uq_method}_{dataset}')
     for attempt in range(retries + 1):
@@ -94,7 +96,9 @@ def emit_sbatch_scripts(config_data, config_path, total, output, rundir):
               help='Max concurrent tasks (default from workflow_config)')
 @click.option('--sbatch', is_flag=True, default=False,
               help='Emit sbatch scripts instead of running locally')
-def main(config, output, rundir, max_tasks, sbatch):
+@click.option('--platform', default=None,
+              help="Pin the tasks' JAX platform (e.g. 'cpu')")
+def main(config, output, rundir, max_tasks, sbatch, platform):
     config_data = get_config(config)
     benches = list(config_data['benchmarks'].keys())
     uq_methods = list(config_data['uq_methods'].keys())
@@ -117,7 +121,7 @@ def main(config, output, rundir, max_tasks, sbatch):
     results = []
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futures = [pool.submit(run_bo_task, config, b, m, d, output,
-                               rundir, retries)
+                               rundir, retries, platform)
                    for b, m, d in total]
         for fut in futures:
             results.append(fut.result())

@@ -1,0 +1,90 @@
+"""L5 orchestration: the process-pool workflow driver fans the grid out as
+restartable ``bo.py`` subprocesses (the Parsl/SLURM replacement — reference
+``examples/bo_driven/workflow_driver.py``), and ``--sbatch`` emits one
+script per cell."""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parents[1]
+DRIVER = REPO / 'examples' / 'bo_driven' / 'workflow_driver.py'
+
+
+@pytest.fixture(scope='module')
+def grid_config(tmp_path_factory):
+    from nnueehcs_tpu.datagen import generate_minibude, write_hdf5
+    tmp = tmp_path_factory.mktemp('wf')
+    ipt, opt = generate_minibude(800)
+    path = str(tmp / 'bude.h5')
+    write_hdf5(path, ipt, opt, 'BUDEKernel')
+    arch = [{'Linear': {'args': [6, 8]}}, {'ReLU': {}},
+            {'Linear': {'args': [8, 1]}}]
+    datasets = {s: {'format': 'hdf5', 'path': path, 'group_name': 'BUDEKernel',
+                    'input_dataset': 'input', 'output_dataset': 'output',
+                    'percentiles': p, 'dtype': 'float32'}
+                for s, p in [('tails_id', '[0, 70]'),
+                             ('tails_ood', '[70, 100]'),
+                             ('gaps_id', '[0, 30], [60, 100]'),
+                             ('gaps_ood', '[30, 60]')]}
+    cfg = {
+        'trainer': {'accelerator': 'cpu', 'max_epochs': 1,
+                    'gradient_clip_val': 5},
+        'training': {'loss': 'l1_loss', 'scaling': True,
+                     'validation_split': 0.2,
+                     'parameter_space': [
+                         {'name': 'learning_rate', 'type': 'fixed',
+                          'value': 1e-3},
+                         {'name': 'weight_decay', 'type': 'fixed', 'value': 0},
+                         {'name': 'batch_size', 'type': 'fixed',
+                          'value': 128}]},
+        'benchmarks': {'minibude': {'model': {'architecture': arch},
+                                    'datasets': datasets}},
+        'uq_methods': {'ensemble': {'parameter_space': [
+            {'name': 'num_models', 'type': 'range', 'bounds': [2, 3]}]}},
+        'bo_config': {'trials': 1, 'max_failures': 1, 'evaluation_metric': [
+            {'name': 'percentile_score', 'percentile': 95},
+            {'name': 'uncertainty_estimating_throughput'}]},
+        'workflow_config': {'max_concurrent_tasks': 2, 'retries': 1},
+        'bo_slurm_config': {'partition': 'pbatch', 'walltime': '1:00:00'},
+    }
+    cfg_path = tmp / 'config.yaml'
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return str(cfg_path), tmp
+
+
+def test_workflow_driver_runs_grid(grid_config):
+    cfg_path, tmp = grid_config
+    out = str(tmp / 'results')
+    rundir = str(tmp / 'rundir')
+    proc = subprocess.run(
+        [sys.executable, str(DRIVER), '--config', cfg_path, '--output', out,
+         '--rundir', rundir, '--platform', 'cpu'],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    # both dataset-split cells completed with the full on-disk contract
+    for dset in ('tails', 'gaps'):
+        tdir = Path(out) / 'minibude' / dset / 'ensemble' / 'bo_trial_0'
+        for fname in ('trial_results.csv', 'ax_client.json', 'model.pth'):
+            assert (tdir / fname).exists(), (dset, fname)
+        log = Path(rundir) / f'minibude_ensemble_{dset}.out'
+        assert log.exists()
+
+
+def test_workflow_driver_sbatch_emission(grid_config):
+    cfg_path, tmp = grid_config
+    rundir = str(tmp / 'sbatch_rundir')
+    proc = subprocess.run(
+        [sys.executable, str(DRIVER), '--config', cfg_path,
+         '--output', str(tmp / 'r2'), '--rundir', rundir, '--sbatch'],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    scripts = sorted(Path(rundir).glob('*.sbatch'))
+    assert len(scripts) == 2   # 1 benchmark × 1 method × 2 splits
+    body = scripts[0].read_text()
+    assert '#SBATCH --partition=pbatch' in body
+    assert '--restart' in body

@@ -88,3 +88,22 @@ def test_workflow_driver_sbatch_emission(grid_config):
     body = scripts[0].read_text()
     assert '#SBATCH --partition=pbatch' in body
     assert '--restart' in body
+
+
+def test_mesh_workflow_driver_concurrent_slices(grid_config):
+    """Concurrent cells on disjoint slices of the virtual 8-device CPU
+    mesh (the TPU-native replacement for one-GPU-per-SLURM-task)."""
+    cfg_path, tmp = grid_config
+    out = str(tmp / 'mesh_results')
+    driver = REPO / 'examples' / 'bo_driven' / 'mesh_workflow_driver.py'
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               JAX_PLATFORMS='cpu')
+    proc = subprocess.run(
+        [sys.executable, str(driver), '--config', cfg_path, '--output', out,
+         '--slices', '2', '--retries', '0'],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    for dset in ('tails', 'gaps'):
+        tdir = Path(out) / 'minibude' / dset / 'ensemble' / 'bo_trial_0'
+        assert (tdir / 'trial_results.csv').exists(), dset

@@ -49,6 +49,11 @@ def grid_config(tmp_path_factory):
         'bo_config': {'trials': 1, 'max_failures': 1, 'evaluation_metric': [
             {'name': 'percentile_score', 'percentile': 95},
             {'name': 'uncertainty_estimating_throughput'}]},
+        'evaluation': {'metrics': [
+            {'name': 'percentile_classification', 'threshold': 0.9,
+             'reversed': False},
+            {'name': 'auroc'},
+        ]},
         'workflow_config': {'max_concurrent_tasks': 2, 'retries': 1},
         'bo_slurm_config': {'partition': 'pbatch', 'walltime': '1:00:00'},
     }
@@ -107,3 +112,44 @@ def test_mesh_workflow_driver_concurrent_slices(grid_config):
     for dset in ('tails', 'gaps'):
         tdir = Path(out) / 'minibude' / dset / 'ensemble' / 'bo_trial_0'
         assert (tdir / 'trial_results.csv').exists(), dset
+
+
+def test_metric_eval_driver_combines(grid_config):
+    """E6: per-(benchmark, dataset) metric-eval fan-out with subprocess
+    isolation, --skip-completed resume, and the combined tidy CSV."""
+    import pandas as pd
+    cfg_path, tmp = grid_config
+    out = str(tmp / 'me_results')
+    # one finished cell to evaluate
+    bo = REPO / 'examples' / 'bo_driven' / 'bo.py'
+    proc = subprocess.run(
+        [sys.executable, str(bo), '--benchmark', 'minibude', '--uq_method',
+         'ensemble', '--config', cfg_path, '--dataset', 'tails',
+         '--output', out, '--platform', 'cpu'],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    driver = REPO / 'examples' / 'metric_evaluation' / 'metric_eval_driver.py'
+    rundir = str(tmp / 'me_rundir')
+    combined = str(tmp / 'combined.csv')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    proc = subprocess.run(
+        [sys.executable, str(driver), '--results_dir', out,
+         '--config_file', cfg_path, '--output', combined,
+         '--rundir', rundir, '--max_tasks', '1'],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    df = pd.read_csv(combined)
+    assert set(df.columns) == {'benchmark', 'dataset', 'method', 'trial',
+                               'metric', 'objective', 'value'}
+    assert (df['method'] == 'ensemble').any()
+    assert 'auroc' in set(df['metric'])
+
+    # --skip-completed resumes without re-running
+    proc = subprocess.run(
+        [sys.executable, str(driver), '--results_dir', out,
+         '--config_file', cfg_path, '--output', combined,
+         '--rundir', rundir, '--max_tasks', '1', '--skip-completed'],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert 'Skipping completed' in proc.stdout

@@ -29,10 +29,10 @@ _V5E_BF16_PEAK_FLOPS = 197e12
 def _build_model(workload: str, num_models: int, precision=None):
     from __graft_entry__ import _flagship
     if workload == 'ensemble':
-        m = _flagship(num_models=num_models)
+        model = _flagship(num_models=num_models)
         if precision:
-            m.set_precision(precision)
-        return m
+            model.set_precision(precision)
+        return model
     from nnueehcs_tpu.model_builder import (MCDropoutModelBuilder,
                                             KDEModelBuilder)
     arch = [{'Linear': {'args': [5, 128]}},
@@ -42,16 +42,19 @@ def _build_model(workload: str, num_models: int, precision=None):
                  {'BatchNorm1d': {'args': [128]}}, {'ReLU': {}}]
     arch.append({'Linear': {'args': [128, 1]}})
     if workload == 'mc_dropout':
-        return MCDropoutModelBuilder(
+        model = MCDropoutModelBuilder(
             arch, {'num_samples': 128, 'dropout_percent': 0.1},
             train_config={'loss': 'l1_loss'}).build()
-    if workload == 'kde':
+    elif workload == 'kde':
         model = KDEModelBuilder(arch, {'rtol': 1000},
                                 train_config={'loss': 'l1_loss'}).build()
         fit = np.random.default_rng(1).normal(size=(16384, 5)).astype(np.float32)
         model.fit_kde(fit)
-        return model
-    raise ValueError(workload)
+    else:
+        raise ValueError(workload)
+    if precision:
+        model.set_precision(precision)
+    return model
 
 
 def jax_train_throughput(batch: int, num_models: int, warmup: int,
@@ -198,6 +201,11 @@ def main():
         batch, torch_batch, warmup, trials = 262144, 16384, 5, 10
     if args.batch:
         batch = args.batch
+    if args.precision and args.precision != '32-true':
+        # the fused Pallas eval kernels run f32 internally; measure the
+        # XLA path so the numbers match the precision label
+        import os
+        os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
 
     tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
                                       workload=args.workload,

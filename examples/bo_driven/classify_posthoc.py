@@ -115,7 +115,11 @@ def main(input, config, output, percentile, ue_dist_column):
         return
     frame = pd.concat(frames, ignore_index=True)
     frame.to_csv(output / 'classification.csv', index=False)
-    plotting.trial_lines(frame, 'sensitivity', output)
+    # filename keeps the reference's x-axis component
+    # (``<bench>_<dset>_trial_sensitivity.png``) so it never collides with
+    # collate's BO-metric sensitivity plot in a shared output directory
+    plotting.trial_lines(frame, 'sensitivity', output,
+                         name='trial_sensitivity')
     plotting.scatter_with_r(frame, x='ue_dist', y='sensitivity',
                             outdir=output)
 

@@ -52,31 +52,33 @@ def load_results_frame(inputs):
 
 
 def headline_metric(frame: pd.DataFrame) -> str | None:
-    """First available column from the UE-distance preference chain."""
+    """First preference-chain metric with any finite value in ``frame``
+    (applied per cell/series, so mixed-method trees all get summarised)."""
     for name in _METRIC_FALLBACK:
-        if name in frame.columns:
+        if name in frame.columns and frame[name].notna().any():
             return name
     return None
 
 
 def summarize(frame: pd.DataFrame, missing) -> pd.DataFrame:
     """Console summary: per cell/series, the headline metric's best trial,
-    best value and median."""
-    metric = headline_metric(frame)
+    best value and median (the fallback chain is resolved per series, so a
+    method reporting only e.g. percentile_score still appears)."""
     rows = []
-    if metric is not None:
+    if len(frame):
         for key, g in frame.groupby(
                 ['benchmark', 'dataset', 'method', 'source'], sort=True):
-            col = g.dropna(subset=[metric])
-            if col.empty:
+            metric = headline_metric(g)
+            if metric is None:
                 continue
+            col = g.dropna(subset=[metric])
             best = col.loc[col[metric].idxmax()]
             rows.append({
                 'benchmark': key[0], 'dataset': key[1], 'method': key[2],
-                'source': key[3], 'trials': len(g),
+                'source': key[3], 'trials': len(g), 'metric': metric,
                 'best_trial': int(best.get('trial', -1)),
-                f'best_{metric}': round(float(best[metric]), 2),
-                f'median_{metric}': round(float(col[metric].median()), 2),
+                'best_value': round(float(best[metric]), 2),
+                'median_value': round(float(col[metric].median()), 2),
             })
     summary = pd.DataFrame(rows)
     if len(summary):

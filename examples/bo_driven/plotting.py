@@ -43,11 +43,13 @@ def _series_in(cell: pd.DataFrame):
 
 
 def trial_lines(frame: pd.DataFrame, quantity: str, outdir,
-                x: str = 'trial'):
+                x: str = 'trial', name: str | None = None):
     """One figure per (benchmark, dataset): ``quantity`` against ``x`` with
-    a line per method/source series."""
+    a line per method/source series.  ``name`` overrides the
+    ``<quantity>`` part of the filename."""
     if quantity not in frame.columns:
         return
+    name = name or quantity
     for (bench, dset), cell, fig, ax in _each_cell(frame):
         drew = False
         for key, series in _series_in(cell):
@@ -61,7 +63,7 @@ def trial_lines(frame: pd.DataFrame, quantity: str, outdir,
         ax.set_ylabel(quantity)
         if drew:
             ax.legend()
-        fig.savefig(f'{outdir}/{bench}_{dset}_{quantity}.png')
+        fig.savefig(f'{outdir}/{bench}_{dset}_{name}.png')
 
 
 def scatter_with_r(frame: pd.DataFrame, x: str, y: str, outdir):

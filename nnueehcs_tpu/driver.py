@@ -497,6 +497,16 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
         if successful_trials == bo_config['trials']:
             break
 
+    if opt_manager is None and trial_results:
+        # quota already met at restart: no trial ran this invocation, but
+        # the pareto export must still (re)generate into the latest
+        # finished trial dir
+        from .utility import find_latest_finished_trial
+        _, latest_dir = find_latest_finished_trial(
+            Path(output) / name / dataset / uq_method)
+        if latest_dir is not None:
+            opt_manager = OutputManager(str(latest_dir), benchmark,
+                                        append_benchmark_name=False)
     if len(bo_params.tracking_metric_names) > 1 and opt_manager is not None:
         pareto_results = ax_client.get_pareto_optimal_parameters(
             use_model_predictions=False)

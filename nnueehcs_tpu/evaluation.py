@@ -430,11 +430,18 @@ class MaxMemoryUsageEvaluation(EvaluationMetric):
             except Exception:
                 mb = None
         if mb is None:
+            # fallback for backends without memory analysis: the allocator
+            # exposes no resettable peak, so a per-pass delta only holds
+            # when THIS pass advances the lifetime peak; otherwise the
+            # lifetime peak is reported (documented approximation)
             gc.collect()
-            before = _device_memory_stats().get('bytes_in_use', 0)
+            stats = _device_memory_stats()
+            before = stats.get('bytes_in_use', 0)
+            peak_before = stats.get('peak_bytes_in_use')
             _block(model(combined, return_ue=True))
             peak = _device_memory_stats().get('peak_bytes_in_use')
-            if peak is not None and peak > before:
+            if peak is not None and peak_before is not None \
+                    and peak > peak_before:
                 mb = (peak - before) / (1024 * 1024)
             else:
                 mb = _device_peak_memory_mb()

@@ -167,6 +167,24 @@ class WrappedModelBase:
                 f'{type(self).__name__} does not define an uncertainty estimate')
         return y
 
+    # ---------------------------------------------------------- eval buffers
+    def eval_buffers(self):
+        """Pytree of non-parameter device buffers the UE pass reads (fit
+        corpora, anchor sets).  They are threaded through the jit cache as
+        program *arguments* — a closure-captured array would be baked into
+        the compiled program as an HLO constant, bloating every compile
+        (multi-GB for large density corpora) and hiding the buffer from
+        the per-pass memory analysis."""
+        return ()
+
+    def eval_with_buffers(self, params, state, buffers, x, rng,
+                          return_ue: bool = False):
+        """Like :meth:`eval_output` but with :meth:`eval_buffers` passed as
+        traced arguments.  The default ignores ``buffers``; density/anchor
+        models override this and keep ``eval_output`` as the
+        closure-capturing convenience wrapper."""
+        return self.eval_output(params, state, x, rng, return_ue=return_ue)
+
     # ------------------------------------------------------------- sharding
     def attach_mesh(self, mesh):
         """Place this model on a device mesh: params replicated (or
@@ -196,6 +214,11 @@ class WrappedModelBase:
         return jax.default_backend() == 'tpu' and self._mesh is None
 
     def _eval_rng(self):
+        return None
+
+    def _peek_eval_rng(self):
+        """The rng the *next* eval call would use, without consuming the
+        stream (for AOT lowering / memory analysis)."""
         return None
 
     def __call__(self, x, return_ue: bool = False):
@@ -228,7 +251,8 @@ class WrappedModelBase:
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(
-                lambda p, s, xx, r: self.eval_output(p, s, xx, r, return_ue=return_ue))
+                lambda p, s, b, xx, r: self.eval_with_buffers(
+                    p, s, b, xx, r, return_ue=return_ue))
             self._jit_cache[key] = fn
         if bucket != n:
             pad = jnp.zeros((bucket - n,) + x.shape[1:], x.dtype)
@@ -238,7 +262,8 @@ class WrappedModelBase:
         else:
             x_padded = x
         x_padded = self._place_eval_batch(x_padded)
-        out = fn(self.params, self.state, x_padded, self._eval_rng())
+        out = fn(self.params, self.state, self.eval_buffers(), x_padded,
+                 self._eval_rng())
 
         def trim(o):
             if o.shape[0] == 2 * bucket:
@@ -277,13 +302,15 @@ class WrappedModelBase:
             dp = self._mesh.shape['dp']
             bucket = -(-bucket // dp) * dp
         fn = jax.jit(
-            lambda p, s, xx, r: self.eval_output(p, s, xx, r, return_ue=return_ue))
+            lambda p, s, b, xx, r: self.eval_with_buffers(
+                p, s, b, xx, r, return_ue=return_ue))
         shapeof = lambda t: jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), t)
         x_spec = jax.ShapeDtypeStruct((bucket,) + x.shape[1:], x.dtype)
         try:
             compiled = fn.lower(shapeof(self.params), shapeof(self.state),
-                                x_spec, self._eval_rng()).compile()
+                                shapeof(self.eval_buffers()),
+                                x_spec, self._peek_eval_rng()).compile()
             ma = compiled.memory_analysis()
             total = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
                      + ma.output_size_in_bytes - ma.alias_size_in_bytes)

@@ -101,8 +101,13 @@ class DeltaUQMLP(WrappedModelBase):
             spread = _std_unbiased(preds, axis=0)
         return mean, spread
 
-    def eval_output(self, params, state, x, rng, return_ue: bool = False):
-        if self._anchors is None:
+    def eval_buffers(self):
+        # anchors ride the jit cache as program arguments (see base)
+        return () if self._anchors is None else (self._anchors,)
+
+    def eval_with_buffers(self, params, state, buffers, x, rng,
+                          return_ue: bool = False):
+        if not buffers:
             if return_ue:
                 print('WARNING: Returning UE without anchors')
             # No anchors yet: fall back to the training-style doubled
@@ -111,10 +116,14 @@ class DeltaUQMLP(WrappedModelBase):
             y, _ = self.train_output(params, state, x, fixed)
             return y
         mean, spread = self._anchored_stats(
-            params, state, x, self._anchors, self.num_anchors)
+            params, state, x, buffers[0], self.num_anchors)
         if return_ue:
             return mean, spread
         return mean
+
+    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        return self.eval_with_buffers(params, state, self.eval_buffers(),
+                                      x, rng, return_ue=return_ue)
 
     def validation_loss(self, params, state, batch, rng):
         # The doubled-forward fallback (no anchors) yields 2B outputs; match

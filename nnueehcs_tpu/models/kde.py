@@ -53,22 +53,36 @@ class KDEMLPModel(MLPModel):
         self.kde = _FittedKDE(data[idx], self.bandwidth, self.rtol)
         self.invalidate_cache()
 
-    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+    def eval_buffers(self):
+        # the fit corpus rides the jit cache as a program argument — as an
+        # HLO constant a multi-GB corpus would bloat every compile and be
+        # invisible to the per-pass memory analysis
+        return () if self.kde is None else (self.kde.data,)
+
+    def _density_score(self, x, data):
+        if self._mesh is not None and 'dp' in self._mesh.axis_names and \
+                self._mesh.shape['dp'] > 1:
+            # fit corpus sharded across the mesh; collective lse merge
+            from ..ops.kde import kde_logpdf_sharded
+            log_dens = kde_logpdf_sharded(x, data, self.kde.bandwidth_,
+                                          self._mesh)
+        else:
+            log_dens = kde_logpdf(x, data, self.kde.bandwidth_)
+        # negate so higher density gets a lower uncertainty score
+        return -jnp.exp(log_dens)
+
+    def eval_with_buffers(self, params, state, buffers, x, rng,
+                          return_ue: bool = False):
         pred = super().eval_output(params, state, x, rng, return_ue=False)
         if not return_ue:
             return pred
         if self.kde is None:
             raise ValueError('KDE not fitted yet')
-        if self._mesh is not None and 'dp' in self._mesh.axis_names and \
-                self._mesh.shape['dp'] > 1:
-            # fit corpus sharded across the mesh; collective lse merge
-            from ..ops.kde import kde_logpdf_sharded
-            log_dens = kde_logpdf_sharded(x, self.kde.data,
-                                          self.kde.bandwidth_, self._mesh)
-        else:
-            log_dens = kde_logpdf(x, self.kde.data, self.kde.bandwidth_)
-        # negate so higher density gets a lower uncertainty score
-        return pred, -jnp.exp(log_dens)
+        return pred, self._density_score(x, buffers[0])
+
+    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        return self.eval_with_buffers(params, state, self.eval_buffers(),
+                                      x, rng, return_ue=return_ue)
 
     def __call__(self, x, return_ue: bool = False):
         if return_ue and self.kde is None:
@@ -116,22 +130,31 @@ class KNNKDEMLPModel(MLPModel):
         self._bandwidth_value = bandwidth_value(self.bandwidth, n, d)
         self.invalidate_cache()
 
-    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+    def eval_buffers(self):
+        return () if self._fit_data is None else (self._fit_data,)
+
+    def eval_with_buffers(self, params, state, buffers, x, rng,
+                          return_ue: bool = False):
         pred = super().eval_output(params, state, x, rng, return_ue=False)
         if not return_ue:
             return pred
+        if self._fit_data is None:
+            raise ValueError('KDE not fitted yet')
+        data = buffers[0]
         if self._mesh is not None and 'dp' in self._mesh.axis_names and \
                 self._mesh.shape['dp'] > 1:
             # fit corpus sharded across the mesh: per-device top-k, ICI
             # all-gather merge (ops.kde.knn_sq_dists_sharded)
             from ..ops.kde import knn_kde_density_sharded
-            dens = knn_kde_density_sharded(x, self._fit_data,
-                                           self._bandwidth_value, self.k,
-                                           self._mesh)
+            dens = knn_kde_density_sharded(x, data, self._bandwidth_value,
+                                           self.k, self._mesh)
         else:
-            dens = knn_kde_density(x, self._fit_data, self._bandwidth_value,
-                                   self.k)
+            dens = knn_kde_density(x, data, self._bandwidth_value, self.k)
         return pred, -dens
+
+    def eval_output(self, params, state, x, rng, return_ue: bool = False):
+        return self.eval_with_buffers(params, state, self.eval_buffers(),
+                                      x, rng, return_ue=return_ue)
 
     def __call__(self, x, return_ue: bool = False):
         if return_ue and self._fit_data is None:

@@ -68,6 +68,11 @@ class MCDropoutModel(WrappedModelBase):
         self._sample_key = k
         return k
 
+    def _peek_eval_rng(self):
+        # the stream must not advance: a memory-analysis lowering between
+        # two eval calls would otherwise shift every subsequent sample
+        return jax.random.fold_in(self._base_key, self._eval_calls)
+
     # ------------------------------------------------------ fused fast path
     def __call__(self, x, return_ue: bool = False):
         """Stateful eval: MC sampling runs as one Pallas program per batch

@@ -67,15 +67,25 @@ class PAGERMLP(DeltaUQMLP):
         dev = jnp.abs(p_matrix - anchors_Y.reshape(1, -1))
         return jnp.max(dev, axis=1, keepdims=True)     # (B, 1)
 
-    def eval_output(self, params, state, x, rng, return_ue: bool = False):
-        res = super().eval_output(params, state, x, rng, return_ue=return_ue)
-        if not return_ue:
+    def eval_buffers(self):
+        if self._anchors is None:
+            return ()
+        if self._anchors_Y is None:
+            raise ValueError('PAGER anchors are set but anchors_Y is not; '
+                             'conformal scores need both')
+        return (self._anchors, self._anchors_Y)
+
+    def eval_with_buffers(self, params, state, buffers, x, rng,
+                          return_ue: bool = False):
+        res = super().eval_with_buffers(params, state, buffers[:1], x, rng,
+                                        return_ue=return_ue)
+        if not return_ue or not buffers:
             return res
         pred, uncertainty = res
         scores = self._conformal_scores(
             params, state, x,
-            self._anchors[:self.num_anchors],
-            self._anchors_Y[:self.num_anchors])
+            buffers[0][:self.num_anchors],
+            buffers[1][:self.num_anchors])
         return pred, jnp.maximum(uncertainty, scores)
 
     # ----------------------------------------------------------- checkpointing

@@ -391,7 +391,8 @@ class Trainer:
         # refreshed every ``windows`` epochs.  (The reference re-shuffles
         # every epoch; disjoint windows of one shuffle mix at least as well
         # across epochs and cost 1/windows of the sorts.)
-        windows = max(1, n // sample_n) if (shuffle and not has_tail) else 1
+        windows = max(1, n // sample_n) \
+            if (shuffle and not has_tail and sample_n > 0) else 1
         perm = None if shuffle else jnp.arange(n)
 
         fit_start = time.time()

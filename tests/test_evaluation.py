@@ -455,3 +455,34 @@ def test_max_memory_usage_measures_the_pass():
     small = metric.evaluate(model, data(100), data(100))['max_memory_usage']
     assert big > 0 and small > 0
     assert small < big
+
+
+def test_max_memory_counts_density_corpus():
+    """The KDE fit corpus is a program *argument* (eval buffer), so the
+    per-pass memory analysis must grow with the corpus — a closure-captured
+    corpus would be invisible to it (and bloat every compile as an HLO
+    constant)."""
+    import jax
+    from nnueehcs_tpu.evaluation import MaxMemoryUsageEvaluation
+    from nnueehcs_tpu.model_builder import KNNKDEModelBuilder
+
+    descr = [{'Linear': {'args': [8, 16]}}, {'ReLU': {}},
+             {'Linear': {'args': [16, 1]}}]
+
+    def scored_model(corpus_rows):
+        m = KNNKDEModelBuilder(descr, {'k': 5}).build()
+        m.init(jax.random.PRNGKey(0), (8,))
+        m.fit_kde(np.random.randn(corpus_rows, 8).astype(np.float32))
+        return m
+
+    def data(n):
+        return (np.random.randn(n, 8).astype(np.float32),
+                np.zeros((n, 1), np.float32))
+
+    metric = MaxMemoryUsageEvaluation()
+    small = metric.evaluate(scored_model(1000), data(100),
+                            data(100))['max_memory_usage']
+    big = metric.evaluate(scored_model(200_000), data(100),
+                          data(100))['max_memory_usage']
+    # 200k×8 f32 corpus alone is ~6.1 MB; it must show up in the pass size
+    assert big - small > 4.0, (small, big)

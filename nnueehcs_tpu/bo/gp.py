@@ -18,6 +18,31 @@ import optax
 _JITTER = 1e-6
 
 
+def _gp_device():
+    """The GP runs on the host CPU backend: its matrices are tiny (≤60
+    points) but its training-set shape grows every BO trial, so on an
+    accelerator every suggestion would pay a fresh (remote) compile for a
+    microsecond-scale computation."""
+    try:
+        return jax.local_devices(backend='cpu')[0]
+    except RuntimeError:
+        return None
+
+
+class _on_gp_device:
+    def __enter__(self):
+        dev = _gp_device()
+        self._ctx = jax.default_device(dev) if dev is not None else None
+        if self._ctx is not None:
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            return self._ctx.__exit__(*exc)
+        return False
+
+
 def _matern52(x1, x2, lengthscales, amplitude):
     d = (x1[:, None, :] - x2[None, :, :]) / lengthscales
     r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
@@ -99,18 +124,20 @@ class GaussianProcess:
     internally (minimisation convention)."""
 
     def __init__(self, x: np.ndarray, y: np.ndarray):
-        self.x = jnp.asarray(x, jnp.float32)
-        y = np.asarray(y, np.float64)
-        self.y_mean = float(y.mean())
-        self.y_std = float(y.std()) or 1.0
-        self.y = jnp.asarray((y - self.y_mean) / self.y_std, jnp.float32)
-        self.theta, self.final_nll = _fit(self.x, self.y)
+        with _on_gp_device():
+            self.x = jnp.asarray(x, jnp.float32)
+            y = np.asarray(y, np.float64)
+            self.y_mean = float(y.mean())
+            self.y_std = float(y.std()) or 1.0
+            self.y = jnp.asarray((y - self.y_mean) / self.y_std, jnp.float32)
+            self.theta, self.final_nll = _fit(self.x, self.y)
 
     def posterior(self, x_star: np.ndarray):
-        mean, var = _posterior(self.theta, self.x, self.y,
-                               jnp.asarray(x_star, jnp.float32))
-        return (np.asarray(mean) * self.y_std + self.y_mean,
-                np.asarray(var) * self.y_std ** 2)
+        with _on_gp_device():
+            mean, var = _posterior(self.theta, self.x, self.y,
+                                   jnp.asarray(x_star, jnp.float32))
+            return (np.asarray(mean) * self.y_std + self.y_mean,
+                    np.asarray(var) * self.y_std ** 2)
 
     def expected_improvement(self, x_star: np.ndarray,
                              best_y: float | None = None) -> np.ndarray:
@@ -118,10 +145,12 @@ class GaussianProcess:
         the *original* y units) — required for constrained EI, where the
         incumbent must be the best *feasible* observation, not the global
         best."""
-        mean, var = _posterior(self.theta, self.x, self.y,
-                               jnp.asarray(x_star, jnp.float32))
-        if best_y is None:
-            best = jnp.min(self.y)
-        else:
-            best = jnp.asarray((best_y - self.y_mean) / self.y_std, jnp.float32)
-        return np.asarray(_expected_improvement(mean, var, best))
+        with _on_gp_device():
+            mean, var = _posterior(self.theta, self.x, self.y,
+                                   jnp.asarray(x_star, jnp.float32))
+            if best_y is None:
+                best = jnp.min(self.y)
+            else:
+                best = jnp.asarray((best_y - self.y_mean) / self.y_std,
+                                   jnp.float32)
+            return np.asarray(_expected_improvement(mean, var, best))

@@ -258,10 +258,19 @@ class BOClient:
         else:
             mask = _pareto_efficient_min(ys_f)
         result = {}
+        seen_params = set()
         for row, (local_i, keep) in enumerate(zip(idxs, mask)):
             if not keep:
                 continue
             t = completed[local_i]
+            if pred_means is not None:
+                # identical parameterisations share a posterior, so every
+                # duplicate arm would tie onto the predicted front — report
+                # each configuration once (Ax dedupes by arm the same way)
+                sig = tuple(sorted(t['params'].items()))
+                if sig in seen_params:
+                    continue
+                seen_params.add(sig)
             if pred_means is not None:
                 sign = np.array([1.0 if self.objectives[n].minimize else -1.0
                                  for n in names])

@@ -72,27 +72,30 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
     x = jnp.asarray(rng.normal(size=(batch, 5)), jnp.float32)
     y = jnp.asarray(rng.normal(size=(batch, 1)), jnp.float32)
 
-    def step(params, state, opt_state, rng):
+    def step(params, state, opt_state, xb, yb, rng):
         (loss, new_state), grads = jax.value_and_grad(
-            model.training_loss, has_aux=True)(params, state, (x, y), rng)
+            model.training_loss, has_aux=True)(params, state, (xb, yb), rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p - 1e-3 * u,
                                         params, updates)
         return params, new_state, opt_state, loss
 
-    fn = jax.jit(step)
+    # donate like the real trainer (donate_argnums in Trainer._fit): the
+    # optimizer state and params update in place instead of copying; the
+    # batch rides as an argument, not an HLO constant
+    fn = jax.jit(step, donate_argnums=(0, 1, 2))
     p, s, o = model.params, model.state, opt_state
 
     def sync(out):
         np.asarray(out[3].ravel()[:1])
 
     for _ in range(warmup):
-        out = fn(p, s, o, jax.random.PRNGKey(0))
+        out = fn(p, s, o, x, y, jax.random.PRNGKey(0))
         p, s, o = out[0], out[1], out[2]
         sync(out)
     start = time.perf_counter()
     for i in range(trials):
-        out = fn(p, s, o, jax.random.PRNGKey(i))
+        out = fn(p, s, o, x, y, jax.random.PRNGKey(i))
         p, s, o = out[0], out[1], out[2]
     sync(out)
     mean_t = (time.perf_counter() - start) / trials

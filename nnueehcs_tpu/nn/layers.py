@@ -183,9 +183,13 @@ class BatchNorm1d(Layer):
             new_state = state
             mean, var = state['mean'], state['var']
         inv = jax.lax.rsqrt(var + self.eps)
-        y = (x - mean) * inv
+        # stats/affine are f32; the elementwise normalise chain over the
+        # (…, B, C) activations runs in the input dtype so bf16 mode keeps
+        # the VPU on its fast path instead of materialising f32 copies
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
         if self.affine:
-            y = y * params['scale'] + params['bias']
+            y = y * params['scale'].astype(x.dtype) \
+                + params['bias'].astype(x.dtype)
         return y.astype(x.dtype), new_state
 
 
@@ -210,8 +214,9 @@ class BatchNorm2d(Layer):
         # channel axis is -3 in NCHW (works for stacked leading axes too)
         axes = tuple(i for i in range(x.ndim) if i != x.ndim - 3)
         if mode.batch_stats:
-            batch_mean = jnp.mean(x, axis=axes)
-            batch_var = jnp.var(x, axis=axes)
+            xf = x.astype(jnp.float32)   # f32 statistics under bf16 compute
+            batch_mean = jnp.mean(xf, axis=axes)
+            batch_var = jnp.var(xf, axis=axes)
             n = x.size // x.shape[-3]
             unbiased = batch_var * (n / max(n - 1, 1))
             m = self.momentum
@@ -225,9 +230,11 @@ class BatchNorm2d(Layer):
             mean, var = state['mean'], state['var']
         shape = (-1,) + (1,) * 2
         inv = jax.lax.rsqrt(var.reshape(shape) + self.eps)
-        y = (x - mean.reshape(shape)) * inv
+        y = (x - mean.reshape(shape).astype(x.dtype)) * \
+            inv.astype(x.dtype)
         if self.affine:
-            y = y * params['scale'].reshape(shape) + params['bias'].reshape(shape)
+            y = y * params['scale'].reshape(shape).astype(x.dtype) \
+                + params['bias'].reshape(shape).astype(x.dtype)
         return y.astype(x.dtype), new_state
 
 

@@ -1,0 +1,533 @@
+"""Fused whole-epoch ensemble training kernel.
+
+The real BO-trial wall-clock is dominated by small-batch training: the
+reference fits ≤300 epochs × ``limit_train_batches`` steps of batch-128
+rows (reference ``examples/bo_driven/config.yaml:4-11``; Lightning loop in
+``nnueehcs/training.py``).  At 128-wide MLP layers each step's GEMMs are
+tiny, so the XLA scanned-epoch path (``training/trainer.py:epoch_scan``) is
+bound by per-op overhead and HBM round-trips, not MXU throughput (measured:
+a no-BatchNorm variant gains nothing from bf16 — see docs/BENCHMARKS.md).
+
+This kernel runs an ENTIRE training epoch as ONE Pallas program:
+
+- grid = (steps,); the pre-gathered batch for step ``i`` streams in as a
+  VMEM block while parameters, Adam moments, gradients, and BatchNorm
+  running statistics live in VMEM *scratch that persists across grid
+  steps* (the TPU grid is sequential).  HBM traffic per step is just the
+  batch block (~5 KB) — everything else stays on-chip for the whole epoch.
+- each step computes, entirely on-chip: the joint-mean (or per-member)
+  ensemble forward with training-mode BatchNorm, the l1/mse loss, a full
+  manual backward pass (ReLU/BatchNorm/Linear), clip-by-global-norm,
+  bias-corrected AdamW, and the BatchNorm running-stat EMA — numerically
+  mirroring ``optax.chain(clip_by_global_norm, scale_by_adam,
+  [add_decayed_weights])`` + the trainer's ``p - lr*u`` update and
+  ``nn.layers.BatchNorm1d`` semantics (biased batch var for normalisation,
+  unbiased in the EMA — torch behaviour).
+- the backward re-runs each member's forward (saving ``x̂`` per BatchNorm)
+  instead of saving all members' activations from the loss sweep: +1
+  forward of FLOPs buys an M× cut in activation VMEM, which is what lets
+  8 members × 7 layers of parameters *and* both Adam moments stay resident.
+
+All parameters ride in one flat ``(rows, 128)`` f32 buffer (`theta`), as do
+the Adam moments and gradients, so the optimizer update is a handful of
+large VPU ops instead of per-layer tree traffic.  Layout is built by
+:func:`plan_fused_train`; eligibility is strict (the
+[Linear→BatchNorm1d→ReLU]×k→Linear family every experiment config uses,
+widths ≤128, VMEM budget respected) and every other case falls back to the
+XLA scanned path in ``training/trainer.py``.
+
+Replaces nothing in the reference (it has no analogue — Lightning
+dispatches every batch from Python, reference ``nnueehcs/models.py:58-63``);
+this is the TPU-native design for the same training loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.layers import Linear, BatchNorm1d, ReLU
+
+# VMEM working-set budget (bytes).  Per-core VMEM is ~16 MB; leave room
+# for the streamed batch blocks and Mosaic temporaries.
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _pad8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+@dataclasses.dataclass(frozen=True)
+class _Lin:
+    """Static layout of one Linear(+BatchNorm)(+ReLU) block inside a
+    member's parameter slab (row offsets are relative to the slab)."""
+    layer: int            # index of the Linear in net.layers
+    bn_layer: int         # index of the BatchNorm1d, or -1
+    w_off: int
+    in_rows: int          # padded rows of W (128 for hidden, pad8(d) first)
+    in_w: int             # true input width
+    out_w: int            # true output width
+    b_off: int            # bias row, or -1
+    g_off: int            # BN scale row, or -1
+    be_off: int           # BN bias row, or -1
+    mean_off: int         # BN running-mean row in sigma slab, or -1
+    var_off: int          # BN running-var row, or -1
+    zh_idx: int           # index into the zhat scratch, or -1
+    relu: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedTrainPlan:
+    lins: Tuple[_Lin, ...]
+    slab_rows: int        # padded rows per member in theta/m/v/g
+    sig_rows: int         # padded rows per member in sigma
+    num_members: int
+    batch: int
+    in_pad: int           # padded input feature width (pad8)
+    out_pad: int          # padded target width (pad8)
+    n_bn: int
+    bn_eps: float
+    bn_mom: float
+    loss: str             # 'l1_loss' | 'mse_loss'
+    per_member: bool
+    clip: Optional[float]
+    weight_decay: float
+    b1: float = 0.9
+    b2: float = 0.999
+    adam_eps: float = 1e-8
+
+    @property
+    def total_rows(self) -> int:
+        return self.slab_rows * self.num_members
+
+    @property
+    def total_sig_rows(self) -> int:
+        return self.sig_rows * self.num_members
+
+    def vmem_bytes(self) -> int:
+        lane = 128 * 4
+        buffers = 4 * self.total_rows * lane        # theta, m, v, g
+        sigma = self.total_sig_rows * lane
+        zhat = self.n_bn * self.batch * lane        # one member's x̂ stack
+        inv = self.n_bn * lane
+        batch_io = 2 * self.batch * (self.in_pad + self.out_pad) * 4
+        return buffers + sigma + zhat + inv + batch_io
+
+
+def plan_fused_train(net, num_members: int, batch: int, *,
+                     loss: str = 'l1_loss', per_member: bool = False,
+                     clip: Optional[float] = None,
+                     weight_decay: float = 0.0) -> Optional[FusedTrainPlan]:
+    """Build the static layout, or None when the net/config is outside the
+    fused family ([Linear→BatchNorm1d→ReLU?]×k→Linear, widths ≤128, VMEM
+    budget, supported loss)."""
+    if loss not in ('l1_loss', 'mse_loss'):
+        return None
+    if batch < 2 or batch % 8 != 0:
+        return None
+
+    layers = list(net.layers)
+    lins = []
+    row = 0
+    sig_row = 0
+    zh = 0
+    i = 0
+    while i < len(layers):
+        lay = layers[i]
+        if not isinstance(lay, Linear):
+            return None
+        if not lay.bias:
+            return None
+        in_w, out_w = lay.in_features, lay.out_features
+        if out_w > 128 or in_w > 128:
+            return None
+        first = i == 0
+        in_rows = _pad8(in_w) if first else 128
+        j = i + 1
+        bn_layer = -1
+        g_off = be_off = mean_off = var_off = -1
+        zh_idx = -1
+        if j < len(layers) and isinstance(layers[j], BatchNorm1d):
+            bn = layers[j]
+            if not bn.affine or bn.num_features != out_w:
+                return None
+            bn_layer = j
+            j += 1
+        relu = False
+        if j < len(layers) and isinstance(layers[j], ReLU):
+            relu = True
+            j += 1
+        is_last = j >= len(layers)
+        if not is_last and bn_layer < 0:
+            # backward recomputes each block's input from the previous
+            # block's saved x̂ — requires BN on every non-final block
+            return None
+        if relu and bn_layer < 0:
+            return None
+        w_off = row
+        row += in_rows
+        b_off = row
+        row += 1
+        if bn_layer >= 0:
+            g_off, be_off = row, row + 1
+            row += 2
+            mean_off, var_off = sig_row, sig_row + 1
+            sig_row += 2
+            zh_idx = zh
+            zh += 1
+        lins.append(_Lin(i, bn_layer, w_off, in_rows, in_w, out_w, b_off,
+                         g_off, be_off, mean_off, var_off, zh_idx, relu))
+        i = j
+    if not lins or lins[-1].bn_layer >= 0 or lins[-1].relu:
+        return None
+
+    bn0 = next((layers[L.bn_layer] for L in lins if L.bn_layer >= 0), None)
+    plan = FusedTrainPlan(
+        lins=tuple(lins),
+        slab_rows=_pad8(row),
+        sig_rows=_pad8(max(sig_row, 1)),
+        num_members=num_members,
+        batch=batch,
+        in_pad=_pad8(lins[0].in_w),
+        out_pad=_pad8(lins[-1].out_w),
+        n_bn=max(zh, 1),
+        bn_eps=float(bn0.eps) if bn0 is not None else 1e-5,
+        bn_mom=float(bn0.momentum) if bn0 is not None else 0.1,
+        loss=loss,
+        per_member=per_member,
+        clip=float(clip) if clip else None,
+        weight_decay=float(weight_decay or 0.0),
+    )
+    # all BN layers must share eps/momentum (they do in every config)
+    for L in lins:
+        if L.bn_layer >= 0:
+            b = layers[L.bn_layer]
+            if b.eps != plan.bn_eps or b.momentum != plan.bn_mom:
+                return None
+    if plan.vmem_bytes() > _VMEM_BUDGET:
+        return None
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# pack / unpack between the model pytrees and the flat buffers
+# ---------------------------------------------------------------------------
+def pack_tree(plan: FusedTrainPlan, tree) -> jnp.ndarray:
+    """Params-shaped pytree (tuple of per-layer dicts, leading member axis)
+    → flat (total_rows, 128) f32 buffer."""
+    M = plan.num_members
+    out = jnp.zeros((M, plan.slab_rows, 128), jnp.float32)
+    for L in plan.lins:
+        w = jnp.asarray(tree[L.layer]['w'], jnp.float32)
+        out = out.at[:, L.w_off:L.w_off + L.in_w, :L.out_w].set(w)
+        b = jnp.asarray(tree[L.layer]['b'], jnp.float32)
+        out = out.at[:, L.b_off, :L.out_w].set(b)
+        if L.bn_layer >= 0:
+            sc = jnp.asarray(tree[L.bn_layer]['scale'], jnp.float32)
+            bi = jnp.asarray(tree[L.bn_layer]['bias'], jnp.float32)
+            out = out.at[:, L.g_off, :L.out_w].set(sc)
+            out = out.at[:, L.be_off, :L.out_w].set(bi)
+    return out.reshape(M * plan.slab_rows, 128)
+
+
+def unpack_tree(plan: FusedTrainPlan, theta, template) -> tuple:
+    """Flat buffer → pytree with the template's structure."""
+    M = plan.num_members
+    th = theta.reshape(M, plan.slab_rows, 128)
+    new = [dict(d) for d in template]
+    for L in plan.lins:
+        new[L.layer] = {
+            'w': th[:, L.w_off:L.w_off + L.in_w, :L.out_w],
+            'b': th[:, L.b_off, :L.out_w],
+        }
+        if L.bn_layer >= 0:
+            new[L.bn_layer] = {
+                'scale': th[:, L.g_off, :L.out_w],
+                'bias': th[:, L.be_off, :L.out_w],
+            }
+    return tuple(new)
+
+
+def pack_state(plan: FusedTrainPlan, state) -> jnp.ndarray:
+    M = plan.num_members
+    out = jnp.concatenate(
+        [jnp.zeros((M, plan.sig_rows, 64), jnp.float32),
+         jnp.zeros((M, plan.sig_rows, 64), jnp.float32)], axis=-1)
+    for L in plan.lins:
+        if L.bn_layer >= 0:
+            mean = jnp.asarray(state[L.bn_layer]['mean'], jnp.float32)
+            var = jnp.asarray(state[L.bn_layer]['var'], jnp.float32)
+            out = out.at[:, L.mean_off, :L.out_w].set(mean)
+            out = out.at[:, L.var_off, :L.out_w].set(var)
+    return out.reshape(M * plan.sig_rows, 128)
+
+
+def unpack_state(plan: FusedTrainPlan, sigma, template) -> tuple:
+    M = plan.num_members
+    sg = sigma.reshape(M, plan.sig_rows, 128)
+    new = [dict(d) for d in template]
+    for L in plan.lins:
+        if L.bn_layer >= 0:
+            new[L.bn_layer] = {
+                'mean': sg[:, L.mean_off, :L.out_w],
+                'var': sg[:, L.var_off, :L.out_w],
+            }
+    return tuple(new)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+def _loss_and_grad(plan, diff):
+    """(Σ loss-term, d/dpred scaled by the mean divisor) for the padded
+    (B, 128) residual — padded lanes are exactly zero so the sums are over
+    true entries only."""
+    B, ow = plan.batch, plan.lins[-1].out_w
+    denom = B * ow
+    if plan.loss == 'l1_loss':
+        return jnp.sum(jnp.abs(diff)), jnp.sign(diff) / denom
+    return jnp.sum(diff * diff), 2.0 * diff / denom
+
+
+def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
+                  th_in, m_in, v_in, sg_in,
+                  th_out, m_out, v_out, sg_out, loss_ref,
+                  th_s, m_s, v_s, g_s, sg_s, zh_s, inv_s, sem):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    B = plan.batch
+    M = plan.num_members
+    lins = plan.lins
+
+    @pl.when(i == 0)
+    def _load():
+        for src, dst in ((th_in, th_s), (m_in, m_s), (v_in, v_s),
+                         (sg_in, sg_s)):
+            dma = pltpu.make_async_copy(src, dst, sem)
+            dma.start()
+            dma.wait()
+        # slab-padding rows are never written by the backward; zero once so
+        # they can't contaminate the global grad norm
+        g_s[:] = jnp.zeros_like(g_s)
+
+    x = x_ref[0]                                    # (B, in_pad)
+    y = y_ref[0].astype(jnp.float32)                # (B, out_pad)
+    ypad = jnp.concatenate(
+        [y, jnp.zeros((B, 128 - plan.out_pad), jnp.float32)], axis=1)
+
+    def forward(m, update_ema, save_zhat):
+        base = m * plan.slab_rows
+        sbase = m * plan.sig_rows
+        h = x.astype(jnp.float32)
+        for L in lins:
+            W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
+            z = jnp.dot(h, W, preferred_element_type=jnp.float32)
+            z = z + th_s[base + L.b_off, :][None, :]
+            if L.bn_layer >= 0:
+                mu = jnp.mean(z, axis=0)
+                c = z - mu[None, :]
+                var = jnp.mean(c * c, axis=0)
+                inv = jax.lax.rsqrt(var + plan.bn_eps)
+                zh = c * inv[None, :]
+                if save_zhat:
+                    zh_s[L.zh_idx, :, :] = zh
+                    inv_s[L.zh_idx, :] = inv
+                if update_ema:
+                    mom = plan.bn_mom
+                    unb = var * (B / (B - 1))
+                    mo, vo = sbase + L.mean_off, sbase + L.var_off
+                    sg_s[mo, :] = (1 - mom) * sg_s[mo, :] + mom * mu
+                    sg_s[vo, :] = (1 - mom) * sg_s[vo, :] + mom * unb
+                h = zh * th_s[base + L.g_off, :][None, :] \
+                    + th_s[base + L.be_off, :][None, :]
+            else:
+                h = z
+            if L.relu:
+                h = jnp.maximum(h, 0.0)
+        return h
+
+    # ---- loss sweep: all members; BN running-stat EMA happens here (once)
+    loss_sum = jnp.float32(0.0)
+    predsum = None
+    for m in range(M):
+        h = forward(m, update_ema=True, save_zhat=False)
+        if plan.per_member:
+            term, _ = _loss_and_grad(plan, h - ypad)
+            loss_sum = loss_sum + term
+        else:
+            predsum = h if predsum is None else predsum + h
+
+    ow = lins[-1].out_w
+    if plan.per_member:
+        loss_t = loss_sum / (B * ow * M)
+        dpred_shared = None
+    else:
+        predm = predsum * (1.0 / M)
+        term, dpred_shared = _loss_and_grad(plan, predm - ypad)
+        loss_t = term / (B * ow)
+        dpred_shared = dpred_shared * (1.0 / M)
+
+    # ---- backward: recompute each member's forward (saving x̂/inv), then
+    # walk the chain in reverse writing grads into g_s
+    for m in range(M):
+        base = m * plan.slab_rows
+        h = forward(m, update_ema=False, save_zhat=True)
+        if plan.per_member:
+            _, d = _loss_and_grad(plan, h - ypad)
+            d = d * (1.0 / M)
+        else:
+            d = dpred_shared
+        for li in range(len(lins) - 1, -1, -1):
+            L = lins[li]
+            if L.relu:
+                act = zh_s[L.zh_idx, :, :] \
+                    * th_s[base + L.g_off, :][None, :] \
+                    + th_s[base + L.be_off, :][None, :]
+                d = d * (act > 0.0).astype(jnp.float32)
+            if L.bn_layer >= 0:
+                zh = zh_s[L.zh_idx, :, :]
+                g_s[base + L.g_off, :] = jnp.sum(d * zh, axis=0)
+                g_s[base + L.be_off, :] = jnp.sum(d, axis=0)
+                dzh = d * th_s[base + L.g_off, :][None, :]
+                s1 = jnp.sum(dzh, axis=0)
+                s2 = jnp.sum(dzh * zh, axis=0)
+                inv = inv_s[L.zh_idx, :]
+                d = (inv[None, :] / B) * (B * dzh - s1[None, :]
+                                          - zh * s2[None, :])
+            if li == 0:
+                a = x.astype(jnp.float32)
+            else:
+                P = lins[li - 1]
+                a = zh_s[P.zh_idx, :, :] \
+                    * th_s[base + P.g_off, :][None, :] \
+                    + th_s[base + P.be_off, :][None, :]
+                if P.relu:
+                    a = jnp.maximum(a, 0.0)
+            dW = jax.lax.dot_general(
+                a, d, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_s[base + L.w_off:base + L.w_off + L.in_rows, :] = dW
+            g_s[base + L.b_off, :] = jnp.sum(d, axis=0)
+            if li > 0:
+                W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
+                d = jax.lax.dot_general(
+                    d, W, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    # ---- optimizer: clip-by-global-norm → bias-corrected Adam → weight
+    # decay → p -= lr*u  (mirrors the trainer's optax chain exactly)
+    g = g_s[:]
+    if plan.clip is not None:
+        gn = jnp.sqrt(jnp.sum(g * g))
+        scale = jax.lax.select(gn < plan.clip, jnp.float32(1.0),
+                               plan.clip / gn)
+        g = g * scale
+    t = (step0_ref[0, 0] + i + 1).astype(jnp.float32)
+    c1 = 1.0 - jnp.power(jnp.float32(plan.b1), t)
+    c2 = 1.0 - jnp.power(jnp.float32(plan.b2), t)
+    mn = plan.b1 * m_s[:] + (1.0 - plan.b1) * g
+    vn = plan.b2 * v_s[:] + (1.0 - plan.b2) * g * g
+    m_s[:] = mn
+    v_s[:] = vn
+    u = (mn / c1) / (jnp.sqrt(vn / c2) + plan.adam_eps)
+    if plan.weight_decay:
+        u = u + plan.weight_decay * th_s[:]
+    th_s[:] = th_s[:] - lr_ref[0, 0] * u
+
+    loss_ref[0, 0] = loss_t
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _store():
+        for src, dst in ((th_s, th_out), (m_s, m_out), (v_s, v_out),
+                         (sg_s, sg_out)):
+            dma = pltpu.make_async_copy(src, dst, sem)
+            dma.start()
+            dma.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('plan', 'interpret'),
+                   donate_argnums=(1, 2, 3, 4))
+def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
+                step0, interpret: bool = False):
+    """Run one training epoch (xs: (S, B, in_pad), ys: (S, B, out_pad)) as
+    a single Pallas program.  Returns (theta, m, v, sigma, losses[S])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = xs.shape[0]
+    R, G = plan.total_rows, plan.total_sig_rows
+
+    kernel = functools.partial(_epoch_kernel, plan)
+    flat = pl.BlockSpec(memory_space=pl.ANY)
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+
+    theta, m, v, sigma, losses = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            smem_scalar,                                     # lr
+            smem_scalar,                                     # step0
+            pl.BlockSpec((1, plan.batch, plan.in_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # xs
+            pl.BlockSpec((1, plan.batch, plan.out_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # ys
+            flat, flat, flat, flat,                          # theta m v sigma
+        ],
+        out_specs=[
+            flat, flat, flat, flat,
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),           # losses
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),               # theta
+            pltpu.VMEM((R, 128), jnp.float32),               # m
+            pltpu.VMEM((R, 128), jnp.float32),               # v
+            pltpu.VMEM((R, 128), jnp.float32),               # grads
+            pltpu.VMEM((G, 128), jnp.float32),               # sigma
+            pltpu.VMEM((plan.n_bn, plan.batch, 128), jnp.float32),
+            pltpu.VMEM((plan.n_bn, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(lr, jnp.float32).reshape(1, 1),
+      jnp.asarray(step0, jnp.int32).reshape(1, 1),
+      xs, ys, theta, m, v, sigma)
+    return theta, m, v, sigma, losses[:, 0]
+
+
+def gather_epoch_batches(plan: FusedTrainPlan, x, y, idx_flat):
+    """Device-side gather of the epoch's shuffled batches into the padded
+    (S, B, in_pad)/(S, B, out_pad) layout the kernel streams (traceable)."""
+    S = idx_flat.shape[0] // plan.batch
+    xb = jnp.asarray(x, jnp.float32)[idx_flat]
+    yb = jnp.asarray(y, jnp.float32)[idx_flat]
+    if yb.ndim == 1:
+        yb = yb[:, None]
+    d = xb.shape[1]
+    if d < plan.in_pad:
+        xb = jnp.pad(xb, ((0, 0), (0, plan.in_pad - d)))
+    ow = yb.shape[1]
+    if ow < plan.out_pad:
+        yb = jnp.pad(yb, ((0, 0), (0, plan.out_pad - ow)))
+    return (xb.reshape(S, plan.batch, plan.in_pad),
+            yb.reshape(S, plan.batch, plan.out_pad))

@@ -1,0 +1,211 @@
+"""Fused whole-epoch training kernel (ops/fused_train.py) vs the XLA path.
+
+The kernel must reproduce the trainer's exact update semantics —
+``optax.chain(clip_by_global_norm, scale_by_adam, [add_decayed_weights])``
++ ``p - lr*u`` (training/trainer.py:236-266) and training-mode BatchNorm1d
+with running-stat EMA (nn/layers.py:166-193) — for the
+[Linear→BatchNorm1d→ReLU]×k→Linear ensemble family.  All kernel runs here
+use the Pallas interpreter (CPU CI mesh); the on-chip path is exercised by
+bench.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nnueehcs_tpu.model_builder import EnsembleModelBuilder
+from nnueehcs_tpu.ops import fused_train as ft
+
+
+def _arch(d=5, width=32, hidden=2, out=1):
+    arch = [{'Linear': {'args': [d, width]}},
+            {'BatchNorm1d': {'args': [width]}}, {'ReLU': {}}]
+    for _ in range(hidden - 1):
+        arch += [{'Linear': {'args': [width, width]}},
+                 {'BatchNorm1d': {'args': [width]}}, {'ReLU': {}}]
+    arch.append({'Linear': {'args': [width, out]}})
+    return arch
+
+
+def _build(M=3, d=5, loss='l1_loss', per_member=False):
+    tc = {'loss': loss}
+    if per_member:
+        tc['ensemble_loss'] = 'per_member'
+    model = EnsembleModelBuilder(_arch(d=d), {'num_models': M},
+                                 train_config=tc).build()
+    model.init(jax.random.PRNGKey(0), (d,))
+    return model
+
+
+def _reference_run(model, x, y, S, B, lr, clip, wd):
+    chain = []
+    if clip:
+        chain.append(optax.clip_by_global_norm(clip))
+    chain.append(optax.scale_by_adam())
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+    tx = optax.chain(*chain)
+    opt = tx.init(model.params)
+    params, state = model.params, model.state
+    losses = []
+    for s in range(S):
+        xb, yb = x[s * B:(s + 1) * B], y[s * B:(s + 1) * B]
+        (loss, state), grads = jax.value_and_grad(
+            model.training_loss, has_aux=True)(params, state, (xb, yb),
+                                               jax.random.PRNGKey(0))
+        updates, opt = tx.update(grads, opt, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr * u,
+                                        params, updates)
+        losses.append(float(loss))
+    return params, state, opt, np.asarray(losses)
+
+
+def _fused_run(model, plan, x, y, S, B, lr, step0=0):
+    theta = ft.pack_tree(plan, model.params)
+    sigma = ft.pack_state(plan, model.state)
+    xs, ys = ft.gather_epoch_batches(plan, x, y, jnp.arange(S * B))
+    return ft.fused_epoch(plan, theta, jnp.zeros_like(theta),
+                          jnp.zeros_like(theta), sigma, xs, ys, lr, step0,
+                          interpret=True)
+
+
+@pytest.mark.parametrize('loss,per_member,wd', [
+    ('l1_loss', False, 0.0),
+    ('mse_loss', False, 0.01),
+    ('l1_loss', True, 0.0),
+])
+def test_epoch_matches_xla_path(loss, per_member, wd):
+    M, B, S, d = 3, 16, 6, 5
+    model = _build(M=M, d=d, loss=loss, per_member=per_member)
+    plan = ft.plan_fused_train(model.net, M, B, loss=loss,
+                               per_member=per_member, clip=5.0,
+                               weight_decay=wd)
+    assert plan is not None
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S * B, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(S * B, 1)), jnp.float32)
+
+    params, state, opt, losses_ref = _reference_run(
+        model, x, y, S, B, 1e-3, 5.0, wd)
+    theta2, m2, v2, sigma2, losses = _fused_run(model, plan, x, y, S, B, 1e-3)
+
+    # per-step losses and both Adam moments are tight; raw parameters are
+    # compared loosely (Adam divides by sqrt of near-zero second moments in
+    # the first steps, amplifying last-bit differences along low-signal
+    # directions — the loss trajectory below pins the behaviour that counts)
+    np.testing.assert_allclose(np.asarray(losses), losses_ref, atol=5e-6)
+    adam = opt[1] if len(opt) > 1 else opt[0]
+    np.testing.assert_allclose(np.asarray(ft.pack_tree(plan, adam.mu)),
+                               np.asarray(m2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ft.pack_tree(plan, adam.nu)),
+                               np.asarray(v2), atol=1e-6)
+
+    s2 = ft.unpack_state(plan, sigma2, model.state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    p2 = ft.unpack_tree(plan, theta2, model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_loss_trajectory_tracks_long_run():
+    """60 steps on a learnable target: the fused trajectory must stay on
+    the XLA path's loss curve (not merely start there)."""
+    M, B, S, d = 3, 16, 60, 5
+    model = _build(M=M, d=d)
+    plan = ft.plan_fused_train(model.net, M, B, loss='l1_loss', clip=5.0)
+
+    rng = np.random.default_rng(0)
+    xall = rng.normal(size=(S * B, d)).astype(np.float32)
+    yall = (xall.sum(axis=1, keepdims=True)
+            + 0.1 * rng.normal(size=(S * B, 1))).astype(np.float32)
+    x, y = jnp.asarray(xall), jnp.asarray(yall)
+
+    _, _, _, losses_ref = _reference_run(model, x, y, S, B, 1e-3, 5.0, 0.0)
+    _, _, _, _, losses = _fused_run(model, plan, x, y, S, B, 1e-3)
+    np.testing.assert_allclose(np.asarray(losses), losses_ref,
+                               rtol=1e-4, atol=1e-5)
+    # and training actually learned something
+    assert losses_ref[-5:].mean() < 0.6 * losses_ref[:5].mean()
+
+
+def test_step0_bias_correction_continues_across_epochs():
+    """Epoch 2 must continue Adam's bias-correction counter, matching one
+    long XLA run split at the same point."""
+    M, B, d = 2, 8, 5
+    S1, S2 = 3, 3
+    model = _build(M=M, d=d)
+    plan = ft.plan_fused_train(model.net, M, B, loss='l1_loss', clip=5.0)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=((S1 + S2) * B, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=((S1 + S2) * B, 1)), jnp.float32)
+
+    _, _, _, losses_ref = _reference_run(model, x, y, S1 + S2, B,
+                                         1e-3, 5.0, 0.0)
+
+    theta = ft.pack_tree(plan, model.params)
+    sigma = ft.pack_state(plan, model.state)
+    m = jnp.zeros_like(theta)
+    v = jnp.zeros_like(theta)
+    xs1, ys1 = ft.gather_epoch_batches(plan, x[:S1 * B], y[:S1 * B],
+                                       jnp.arange(S1 * B))
+    theta, m, v, sigma, l1 = ft.fused_epoch(plan, theta, m, v, sigma,
+                                            xs1, ys1, 1e-3, 0,
+                                            interpret=True)
+    xs2, ys2 = ft.gather_epoch_batches(plan, x[S1 * B:], y[S1 * B:],
+                                       jnp.arange(S2 * B))
+    theta, m, v, sigma, l2 = ft.fused_epoch(plan, theta, m, v, sigma,
+                                            xs2, ys2, 1e-3, S1,
+                                            interpret=True)
+    got = np.concatenate([np.asarray(l1), np.asarray(l2)])
+    np.testing.assert_allclose(got, losses_ref, atol=5e-6)
+
+
+def test_pack_unpack_roundtrip():
+    M, B, d = 2, 8, 5
+    model = _build(M=M, d=d)
+    plan = ft.plan_fused_train(model.net, M, B)
+    theta = ft.pack_tree(plan, model.params)
+    p2 = ft.unpack_tree(plan, theta, model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sigma = ft.pack_state(plan, model.state)
+    s2 = ft.unpack_state(plan, sigma, model.state)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plan_rejections():
+    from nnueehcs_tpu.nn.network import build_network
+    M, B = 2, 16
+    # dropout in the chain → not fusable
+    net = build_network([{'Linear': {'args': [5, 16]}},
+                         {'BatchNorm1d': {'args': [16]}},
+                         {'Dropout': {'args': [0.1]}},
+                         {'Linear': {'args': [16, 1]}}])
+    assert ft.plan_fused_train(net, M, B) is None
+    # non-final Linear without BatchNorm → not fusable
+    net = build_network([{'Linear': {'args': [5, 16]}}, {'ReLU': {}},
+                         {'Linear': {'args': [16, 1]}}])
+    assert ft.plan_fused_train(net, M, B) is None
+    # width beyond one lane tile → not fusable
+    net = build_network([{'Linear': {'args': [5, 256]}},
+                         {'BatchNorm1d': {'args': [256]}}, {'ReLU': {}},
+                         {'Linear': {'args': [256, 1]}}])
+    assert ft.plan_fused_train(net, M, B) is None
+    # unsupported loss / odd batch
+    good = build_network(_arch())
+    assert ft.plan_fused_train(good, M, B, loss='huber_loss') is None
+    # batch rows must fill whole sublane tiles (padded rows would enter
+    # the BatchNorm batch statistics)
+    assert ft.plan_fused_train(good, M, 24) is not None
+    assert ft.plan_fused_train(good, M, 12) is None
+    # blowing the VMEM budget (many members) → None
+    assert ft.plan_fused_train(good, 4096, B) is None

@@ -244,6 +244,32 @@ class Trainer:
         tx = optax.chain(*chain)
         opt_state = tx.init(model.params)
 
+        # ----- fused whole-epoch kernel (TPU): one Pallas program per epoch
+        # with parameters, Adam moments, gradients and BatchNorm running
+        # stats resident in VMEM across every step (ops/fused_train.py).
+        # Strictly an execution strategy: numerics mirror the optax chain
+        # below (tested in tests/test_fused_train.py).  `fused_epochs:
+        # 'force'` engages the interpreter path off-TPU (tests).
+        fused_cfg = self.trainer_config.get('fused_epochs', True)
+        fused_plan = None
+        if (fused_cfg and self.mesh_config is None
+                and self.precision in (None, '32-true')
+                and not os.environ.get('NNUEEHCS_TPU_NO_FUSED_TRAIN')
+                and (device.platform == 'tpu' or fused_cfg == 'force')
+                and type(model).__name__ == 'EnsembleModel'
+                and np.dtype(dtype) == np.float32):
+            from ..ops import fused_train as _ft
+            fused_plan = _ft.plan_fused_train(
+                model.net, model.num_models, bs,
+                loss=model.train_config.get('loss', 'l1_loss'),
+                per_member=model.train_config.get(
+                    'ensemble_loss', 'joint_mean') == 'per_member',
+                clip=self.gradient_clip_val,
+                weight_decay=weight_decay)
+        fused_buffers = None
+        fused_step0 = 0
+        _fused_interp = device.platform != 'tpu'
+
         # ----- jitted programs
         mesh = self.mesh
 
@@ -320,6 +346,70 @@ class Trainer:
 
         fused_epoch_jit = jax.jit(epoch_with_val, donate_argnums=(0, 1, 2),
                                   static_argnums=(12,))
+
+        if fused_plan is not None:
+            from ..ops.fused_train import (fused_epoch, gather_epoch_batches,
+                                           pack_tree, pack_state,
+                                           unpack_tree, unpack_state)
+
+            def kernel_epoch_with_val(theta, mbuf, vbuf, sigma, xt, yt,
+                                      perm, offset, lr, step0, val_xs_,
+                                      val_ys_, epoch_idx, nb_val_, val_key_):
+                """Whole epoch as one Pallas kernel + the validation scan,
+                fused into a single program/host sync (the kernel analogue
+                of epoch_with_val)."""
+                idx_flat = jax.lax.dynamic_slice(perm, (offset,), (sample_n,))
+                xs, ys = gather_epoch_batches(fused_plan, xt, yt, idx_flat)
+                theta, mbuf, vbuf, sigma, losses = fused_epoch(
+                    fused_plan, theta, mbuf, vbuf, sigma, xs, ys, lr, step0,
+                    interpret=_fused_interp)
+                params = unpack_tree(fused_plan, theta, model.params)
+                state = unpack_state(fused_plan, sigma, model.state)
+
+                val_rngs = jax.vmap(
+                    lambda b: jax.random.fold_in(val_key_,
+                                                 epoch_idx * 100003 + b))(
+                    jnp.arange(nb_val_))
+
+                def vbody(_, inp):
+                    xb, yb, rng = inp
+                    return None, model.validation_loss(params, state,
+                                                       (xb, yb), rng)
+                _, vlosses = jax.lax.scan(vbody, None,
+                                          (val_xs_, val_ys_, val_rngs))
+                out = jnp.concatenate(
+                    [losses.astype(jnp.float32),
+                     jnp.mean(vlosses)[None].astype(jnp.float32)])
+                return theta, mbuf, vbuf, sigma, params, state, out
+
+            kernel_epoch_jit = jax.jit(kernel_epoch_with_val,
+                                       donate_argnums=(0, 1, 2, 3),
+                                       static_argnums=(13,))
+
+            def _adam_index():
+                return 1 if self.gradient_clip_val else 0
+
+            def _pack_fused(params_, state_, opt_):
+                adam = opt_[_adam_index()]
+                return [pack_tree(fused_plan, params_),
+                        pack_tree(fused_plan, adam.mu),
+                        pack_tree(fused_plan, adam.nu),
+                        pack_state(fused_plan, state_)], int(adam.count)
+
+            def _unpack_fused(bufs, count):
+                """Hand the kernel's Adam state back to the optax chain (a
+                later epoch needs the per-batch python path, e.g. a hook
+                asking for batches)."""
+                params_ = unpack_tree(fused_plan, bufs[0], model.params)
+                state_ = unpack_state(fused_plan, bufs[3], model.state)
+                mu = unpack_tree(fused_plan, bufs[1], model.params)
+                nu = unpack_tree(fused_plan, bufs[2], model.params)
+                idx = _adam_index()
+                adam = optax.ScaleByAdamState(
+                    count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu)
+                opt_ = tx.init(params_)
+                opt_ = opt_[:idx] + (adam,) + opt_[idx + 1:]
+                return params_, state_, opt_
 
         val_cache = {}
 
@@ -414,6 +504,51 @@ class Trainer:
 
             batch_hooks = [h for h in hooks
                            if _wants_batches(h, epoch)] if hooks else []
+
+            # ---- fused-kernel path: the whole train epoch as ONE Pallas
+            # program (params/Adam/BN-stats VMEM-resident) + validation,
+            # still a single host sync per epoch
+            kernel_ok = (fused_plan is not None and val_xs is not None
+                         and not batch_hooks and not has_tail
+                         and full_batches > 0)
+            if kernel_ok:
+                if fused_buffers is None:
+                    fused_buffers, fused_step0 = _pack_fused(params, state,
+                                                             opt)
+                th, mb, vb, sg = fused_buffers
+                th, mb, vb, sg, params, state, larr = kernel_epoch_jit(
+                    th, mb, vb, sg, x_train, y_train, perm, offset_dev,
+                    lr, jnp.asarray(fused_step0, jnp.int32), val_xs, val_ys,
+                    jnp.asarray(epoch, jnp.int32), nb_val, val_key)
+                fused_buffers = [th, mb, vb, sg]
+                fused_step0 += full_batches
+                model.params, model.state = params, state
+                arr = np.asarray(larr)               # the one host sync
+                losses_np = arr[:-1]
+                vl = float(arr[-1])
+                self._log_epoch(losses_np, epoch)
+                for h in hooks:
+                    h.on_train_epoch_end(self, model)
+                for h in hooks:
+                    h.on_validation_epoch_start(self, model)
+                self.callback_metrics['val_loss'] = vl
+                self.logger.log_metrics({'val_loss': vl, 'epoch': epoch},
+                                        step=self.global_step - 1)
+                for h in hooks:
+                    h.on_validation_end(self, model, self.callback_metrics)
+                lr_scale = plateau.step(vl)
+                self.logger.save()
+                if self.should_stop:
+                    break
+                continue
+            elif fused_buffers is not None:
+                # a non-kernel epoch follows kernel epochs: hand the Adam
+                # state back to optax and continue on the generic path
+                params, state, opt = _unpack_fused(fused_buffers,
+                                                   fused_step0)
+                model.params, model.state = params, state
+                fused_buffers = None
+                fused_plan = None
 
             # ---- fully fused path: train scan + validation in ONE program,
             # a single host sync per epoch

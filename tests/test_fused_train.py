@@ -209,3 +209,74 @@ def test_plan_rejections():
     assert ft.plan_fused_train(good, M, 12) is None
     # blowing the VMEM budget (many members) → None
     assert ft.plan_fused_train(good, 4096, B) is None
+
+
+# ---------------------------------------------------------------------------
+# Trainer integration: fused_epochs='force' engages the kernel off-TPU
+# (interpreter) and must land in the same place as the XLA scan path
+# ---------------------------------------------------------------------------
+def _fit(fused, seed=7, epochs=3):
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+    model = _build(M=2, d=5)
+    dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                    drop_last=True)
+    vdl = DataLoader(ArrayDataset(x, y), batch_size=16)
+    tr = Trainer('t/fused', {'accelerator': 'cpu', 'max_epochs': epochs,
+                             'gradient_clip_val': 5.0, 'seed': seed,
+                             'fused_epochs': 'force' if fused else False},
+                 callbacks=[EarlyStopping(patience=100)],
+                 log_dir=None if False else '/tmp/_fused_it',
+                 version=f'v{int(fused)}')
+    tr.fit(model, dl, vdl)
+    return model, tr
+
+
+def test_trainer_engages_kernel_and_matches_scan_path(tmp_path):
+    m_fused, tr_fused = _fit(True)
+    m_scan, tr_scan = _fit(False)
+    # identical shuffle/seed/loss semantics → the two paths track tightly
+    assert abs(tr_fused.callback_metrics['val_loss']
+               - tr_scan.callback_metrics['val_loss']) < 1e-3
+    x = np.random.default_rng(1).normal(size=(32, 5)).astype(np.float32)
+    p1, _ = m_fused(x, return_ue=True)
+    p2, _ = m_scan(x, return_ue=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=0.1, atol=0.05)
+
+
+def test_trainer_kernel_to_scan_handoff():
+    """A hook that asks for training batches on a later epoch forces the
+    trainer to hand the kernel's Adam state back to optax mid-fit."""
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping)
+    from nnueehcs_tpu.training.hooks import TrainerHook
+
+    seen = []
+
+    class LateBatchHook(TrainerHook):
+        def on_train_batch_end(self, trainer, model, batch, batch_idx):
+            seen.append((trainer.current_epoch, batch_idx))
+
+        def wants_train_batches(self, epoch):
+            return epoch == 2
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+    model = _build(M=2, d=5)
+    dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                    drop_last=True)
+    tr = Trainer('t/handoff', {'accelerator': 'cpu', 'max_epochs': 4,
+                               'gradient_clip_val': 5.0,
+                               'fused_epochs': 'force'},
+                 callbacks=[EarlyStopping(patience=100), LateBatchHook()],
+                 log_dir='/tmp/_fused_it', version='v2')
+    LateBatchHook.wants_train_batches = lambda self, epoch: epoch == 2
+    tr.fit(model, dl, DataLoader(ArrayDataset(x, y), batch_size=16))
+    # the hook observed epoch 2's batches and training completed
+    assert {e for e, _ in seen} == {2}
+    assert 'val_loss' in tr.callback_metrics

@@ -14,6 +14,7 @@ smaller batch (throughput is batch-size invariant for this model on CPU).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
+import functools
 import json
 import sys
 import time
@@ -102,6 +103,102 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
     return batch / mean_t, mean_t
 
 
+def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
+                               warmup: int, trials: int, fused: bool = True):
+    """Small-batch *epoch* training throughput (rows/s): ``steps`` × batch-128
+    AdamW updates — the BO-trial hot loop (trainer config batch_size=128,
+    limit_train_batches, reference ``config.yaml:4-11``).  ``fused`` runs the
+    whole epoch as one Pallas kernel (ops/fused_train.py, the path
+    ``Trainer`` takes on TPU); ``fused=False`` runs the XLA ``lax.scan``
+    fallback for comparison."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from __graft_entry__ import _flagship
+
+    model = _flagship(num_models=num_models)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(steps * batch, 5)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(steps * batch, 1)), jnp.float32)
+    lr = jnp.float32(1e-3)
+
+    if fused:
+        from nnueehcs_tpu.ops import fused_train as ft
+        plan = ft.plan_fused_train(model.net, num_models, batch,
+                                   loss='l1_loss', clip=5.0)
+        if plan is None:
+            raise RuntimeError('flagship not fusable at this member count')
+        state = {
+            'theta': ft.pack_tree(plan, model.params),
+            'sigma': ft.pack_state(plan, model.state),
+            'step0': 0,
+        }
+        state['m'] = jnp.zeros_like(state['theta'])
+        state['v'] = jnp.zeros_like(state['theta'])
+        xs, ys = jax.jit(functools.partial(ft.gather_epoch_batches, plan))(
+            x, y, jnp.arange(steps * batch))
+
+        def run_epoch():
+            (state['theta'], state['m'], state['v'], state['sigma'],
+             losses) = ft.fused_epoch(plan, state['theta'], state['m'],
+                                      state['v'], state['sigma'], xs, ys,
+                                      lr, state['step0'])
+            state['step0'] += steps
+            return losses
+    else:
+        tx = optax.chain(optax.clip_by_global_norm(5.0),
+                         optax.scale_by_adam())
+        carry = {'params': model.params, 'state': model.state,
+                 'opt': tx.init(model.params)}
+        idx_mat = jnp.arange(steps * batch).reshape(steps, batch)
+
+        def train_step(params, state_, opt_state, xt, yt, idx, lr_, rng_):
+            batch_ = (xt[idx], yt[idx])
+            (loss, new_state), grads = jax.value_and_grad(
+                model.training_loss, has_aux=True)(params, state_, batch_,
+                                                   rng_)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p - lr_ * u,
+                                            params, updates)
+            return params, new_state, opt_state, loss
+
+        def epoch_scan(params, state_, opt_state, xt, yt, idx_mat_, lr_,
+                       epoch_rng):
+            def body(c, inp):
+                params, state_, opt_state = c
+                idx, step_i = inp
+                rng_ = jax.random.fold_in(epoch_rng, step_i)
+                params, state_, opt_state, loss = train_step(
+                    params, state_, opt_state, xt, yt, idx, lr_, rng_)
+                return (params, state_, opt_state), loss
+            stepsv = jnp.arange(idx_mat_.shape[0])
+            (params, state_, opt_state), losses = jax.lax.scan(
+                body, (params, state_, opt_state), (idx_mat_, stepsv))
+            return params, state_, opt_state, losses
+
+        scan_jit = jax.jit(epoch_scan, donate_argnums=(0, 1, 2))
+
+        def run_epoch():
+            (carry['params'], carry['state'], carry['opt'],
+             losses) = scan_jit(carry['params'], carry['state'],
+                                carry['opt'], x, y, idx_mat, lr,
+                                jax.random.PRNGKey(0))
+            return losses
+
+    def sync(losses):
+        np.asarray(losses[-1:])
+
+    for _ in range(warmup):
+        sync(run_epoch())
+    start = time.perf_counter()
+    out = None
+    for _ in range(trials):
+        out = run_epoch()
+    sync(out)
+    mean_t = (time.perf_counter() - start) / trials
+    return steps * batch / mean_t, mean_t
+
+
 def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
                       workload: str = 'ensemble', precision=None):
     import jax
@@ -181,6 +278,47 @@ def torch_reference_throughput(batch: int, num_models: int, warmup: int,
     return batch / mean_t, mean_t
 
 
+def torch_train_epoch_reference(steps: int, batch: int, num_models: int):
+    """The reference's training hot loop on CPU: Lightning dispatches one
+    torch fwd+bwd+AdamW step per batch over the joint-mean ensemble loss
+    (reference ``nnueehcs/models.py:58-63,99-108``)."""
+    import torch
+
+    torch.manual_seed(0)
+
+    def make_member():
+        layers = [torch.nn.Linear(5, 128), torch.nn.BatchNorm1d(128),
+                  torch.nn.ReLU()]
+        for _ in range(5):
+            layers += [torch.nn.Linear(128, 128),
+                       torch.nn.BatchNorm1d(128), torch.nn.ReLU()]
+        layers.append(torch.nn.Linear(128, 1))
+        return torch.nn.Sequential(*layers)
+
+    members = torch.nn.ModuleList([make_member() for _ in range(num_models)])
+    members.train()
+    opt = torch.optim.AdamW(members.parameters(), lr=1e-3, weight_decay=0.0)
+    x = torch.randn(steps * batch, 5)
+    y = torch.randn(steps * batch, 1)
+
+    run_steps = min(steps, 16)
+    times = []
+    for s in range(run_steps + 2):
+        xb = x[(s % steps) * batch:(s % steps) * batch + batch]
+        yb = y[(s % steps) * batch:(s % steps) * batch + batch]
+        start = time.perf_counter()
+        opt.zero_grad()
+        pred = torch.stack([m(xb) for m in members]).mean(0)
+        loss = torch.nn.functional.l1_loss(pred, yb)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(members.parameters(), 5.0)
+        opt.step()
+        if s >= 2:
+            times.append(time.perf_counter() - start)
+    mean_t = float(np.mean(times))
+    return batch / mean_t, mean_t * steps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
@@ -190,7 +328,7 @@ def main():
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--workload', default='ensemble',
                     choices=['ensemble', 'mc_dropout', 'kde',
-                             'ensemble_train'],
+                             'ensemble_train', 'ensemble_train_epoch'],
                     help='which UQ workload to benchmark (headline: ensemble)')
     ap.add_argument('--precision', default=None,
                     choices=['32-true', 'bf16-mixed'],
@@ -209,6 +347,47 @@ def main():
         # XLA path so the numbers match the precision label
         import os
         os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
+
+    if args.workload == 'ensemble_train_epoch':
+        # the BO-trial hot loop: a whole small-batch epoch.  Time the fused
+        # Pallas kernel (the Trainer's TPU path) and the XLA scan fallback.
+        steps = 50 if args.quick else 500
+        ep_batch = 128
+        tpu_tp, tpu_t = jax_train_epoch_throughput(
+            steps, ep_batch, args.num_models, max(1, warmup // 2),
+            max(3, trials // 2), fused=True)
+        scan_tp, scan_t = jax_train_epoch_throughput(
+            steps, ep_batch, args.num_models, max(1, warmup // 2),
+            max(3, trials // 2), fused=False)
+        flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * args.num_models * 3
+        mfu = tpu_tp * flops_per_row / _V5E_BF16_PEAK_FLOPS
+        print(f'# jax fused-epoch: steps={steps} batch={ep_batch} '
+              f'members={args.num_models} epoch={tpu_t * 1e3:.1f}ms '
+              f'({tpu_t / steps * 1e6:.0f}us/step) '
+              f'throughput={tpu_tp:,.0f} rows/s mfu={100 * mfu:.1f}%',
+              file=sys.stderr)
+        print(f'# jax scan-epoch : epoch={scan_t * 1e3:.1f}ms '
+              f'({scan_t / steps * 1e6:.0f}us/step) '
+              f'throughput={scan_tp:,.0f} rows/s '
+              f'(fused speedup {tpu_tp / scan_tp:.2f}x)', file=sys.stderr)
+        vs_baseline = None
+        if not args.skip_baseline:
+            try:
+                ref_tp, ref_epoch_t = torch_train_epoch_reference(
+                    steps, ep_batch, args.num_models)
+                print(f'# torch-cpu reference: '
+                      f'epoch={ref_epoch_t * 1e3:.1f}ms (scaled) '
+                      f'throughput={ref_tp:,.0f} rows/s', file=sys.stderr)
+                vs_baseline = tpu_tp / ref_tp
+            except Exception as e:
+                print(f'# baseline unavailable: {e}', file=sys.stderr)
+        print(json.dumps({
+            'metric': 'uq_ensemble_train_epoch_throughput',
+            'value': round(tpu_tp, 1),
+            'unit': 'samples/s',
+            'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        }))
+        return
 
     tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
                                       workload=args.workload,

@@ -54,7 +54,7 @@ from ..nn.layers import Linear, BatchNorm1d, ReLU
 
 # VMEM working-set budget (bytes).  Per-core VMEM is ~16 MB; leave room
 # for the streamed batch blocks and Mosaic temporaries.
-_VMEM_BUDGET = 14 * 1024 * 1024
+_VMEM_BUDGET = 14 * 1024 * 1024 + 512 * 1024
 
 
 def _pad8(v: int) -> int:
@@ -108,14 +108,15 @@ class FusedTrainPlan:
     def total_sig_rows(self) -> int:
         return self.sig_rows * self.num_members
 
-    def vmem_bytes(self) -> int:
+    def vmem_bytes(self, steps_hint: int = 1024) -> int:
         lane = 128 * 4
         buffers = 4 * self.total_rows * lane        # theta, m, v, g
         sigma = self.total_sig_rows * lane
         zhat = self.n_bn * self.batch * lane        # one member's x̂ stack
         inv = self.n_bn * lane
+        losses = steps_hint * lane                  # resident loss rows
         batch_io = 2 * self.batch * (self.in_pad + self.out_pad) * 4
-        return buffers + sigma + zhat + inv + batch_io
+        return buffers + sigma + zhat + inv + losses + batch_io
 
 
 def plan_fused_train(net, num_members: int, batch: int, *,
@@ -421,26 +422,42 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                     preferred_element_type=jnp.float32)
 
     # ---- optimizer: clip-by-global-norm → bias-corrected Adam → weight
-    # decay → p -= lr*u  (mirrors the trainer's optax chain exactly)
-    g = g_s[:]
+    # decay → p -= lr*u  (mirrors the trainer's optax chain exactly).
+    # Chunked over row blocks: Mosaic allocates elementwise intermediates
+    # on the VMEM stack, so full-buffer expressions would transiently cost
+    # several extra copies of the parameter set.
+    R = plan.total_rows
+    CH = 1024
     if plan.clip is not None:
-        gn = jnp.sqrt(jnp.sum(g * g))
+        gn2 = jnp.float32(0.0)
+        for r0 in range(0, R, CH):
+            r1 = min(r0 + CH, R)
+            gch = g_s[r0:r1, :]
+            gn2 = gn2 + jnp.sum(gch * gch)
+        gn = jnp.sqrt(gn2)
         scale = jax.lax.select(gn < plan.clip, jnp.float32(1.0),
                                plan.clip / gn)
-        g = g * scale
+    else:
+        scale = jnp.float32(1.0)
     t = (step0_ref[0, 0] + i + 1).astype(jnp.float32)
-    c1 = 1.0 - jnp.power(jnp.float32(plan.b1), t)
-    c2 = 1.0 - jnp.power(jnp.float32(plan.b2), t)
-    mn = plan.b1 * m_s[:] + (1.0 - plan.b1) * g
-    vn = plan.b2 * v_s[:] + (1.0 - plan.b2) * g * g
-    m_s[:] = mn
-    v_s[:] = vn
-    u = (mn / c1) / (jnp.sqrt(vn / c2) + plan.adam_eps)
-    if plan.weight_decay:
-        u = u + plan.weight_decay * th_s[:]
-    th_s[:] = th_s[:] - lr_ref[0, 0] * u
+    # b^t as exp(t·ln b) — Mosaic has no powf lowering
+    c1 = 1.0 - jnp.exp(t * float(np.log(plan.b1)))
+    c2 = 1.0 - jnp.exp(t * float(np.log(plan.b2)))
+    lr = lr_ref[0, 0]
+    for r0 in range(0, R, CH):
+        r1 = min(r0 + CH, R)
+        g = g_s[r0:r1, :] * scale
+        mn = plan.b1 * m_s[r0:r1, :] + (1.0 - plan.b1) * g
+        vn = plan.b2 * v_s[r0:r1, :] + (1.0 - plan.b2) * g * g
+        m_s[r0:r1, :] = mn
+        v_s[r0:r1, :] = vn
+        u = (mn / c1) / (jnp.sqrt(vn / c2) + plan.adam_eps)
+        if plan.weight_decay:
+            u = u + plan.weight_decay * th_s[r0:r1, :]
+        th_s[r0:r1, :] = th_s[r0:r1, :] - lr * u
 
-    loss_ref[0, 0] = loss_t
+    from jax.experimental import pallas as _pl
+    loss_ref[_pl.ds(i, 1), :] = jnp.full((1, 128), loss_t, jnp.float32)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _store():
@@ -483,15 +500,17 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
         ],
         out_specs=[
             flat, flat, flat, flat,
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),           # losses
+            # per-step losses stay VMEM-resident for the whole epoch (one
+            # full-array block; ~512 KB at 1000 steps) and flush once
+            pl.BlockSpec((S, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),           # losses
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
             jax.ShapeDtypeStruct((R, 128), jnp.float32),
             jax.ShapeDtypeStruct((G, 128), jnp.float32),
-            jax.ShapeDtypeStruct((S, 1), jnp.float32),
+            jax.ShapeDtypeStruct((S, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.float32),               # theta

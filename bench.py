@@ -104,7 +104,8 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
 
 
 def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
-                               warmup: int, trials: int, fused: bool = True):
+                               warmup: int, trials: int, fused: bool = True,
+                               precision=None):
     """Small-batch *epoch* training throughput (rows/s): ``steps`` × batch-128
     AdamW updates — the BO-trial hot loop (trainer config batch_size=128,
     limit_train_batches, reference ``config.yaml:4-11``).  ``fused`` runs the
@@ -125,7 +126,8 @@ def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
     if fused:
         from nnueehcs_tpu.ops import fused_train as ft
         plan = ft.plan_fused_train(model.net, num_models, batch,
-                                   loss='l1_loss', clip=5.0)
+                                   loss='l1_loss', clip=5.0,
+                                   bf16=precision == 'bf16-mixed')
         if plan is None:
             raise RuntimeError('flagship not fusable at this member count')
         state = {
@@ -355,7 +357,7 @@ def main():
         ep_batch = 128
         tpu_tp, tpu_t = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
-            max(3, trials // 2), fused=True)
+            max(3, trials // 2), fused=True, precision=args.precision)
         scan_tp, scan_t = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
             max(3, trials // 2), fused=False)

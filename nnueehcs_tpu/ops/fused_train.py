@@ -99,6 +99,9 @@ class FusedTrainPlan:
     b1: float = 0.9
     b2: float = 0.999
     adam_eps: float = 1e-8
+    # bf16 GEMM operands with f32 accumulation ('bf16-mixed' precision):
+    # master weights, BN statistics, loss and the whole optimizer stay f32
+    bf16: bool = False
 
     @property
     def total_rows(self) -> int:
@@ -122,7 +125,8 @@ class FusedTrainPlan:
 def plan_fused_train(net, num_members: int, batch: int, *,
                      loss: str = 'l1_loss', per_member: bool = False,
                      clip: Optional[float] = None,
-                     weight_decay: float = 0.0) -> Optional[FusedTrainPlan]:
+                     weight_decay: float = 0.0,
+                     bf16: bool = False) -> Optional[FusedTrainPlan]:
     """Build the static layout, or None when the net/config is outside the
     fused family ([Linear→BatchNorm1d→ReLU?]×k→Linear, widths ≤128, VMEM
     budget, supported loss)."""
@@ -202,6 +206,7 @@ def plan_fused_train(net, num_members: int, batch: int, *,
         per_member=per_member,
         clip=float(clip) if clip else None,
         weight_decay=float(weight_decay or 0.0),
+        bf16=bool(bf16),
     )
     # all BN layers must share eps/momentum (they do in every config)
     for L in lins:
@@ -319,6 +324,15 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
 
     x = x_ref[0]                                    # (B, in_pad)
     y = y_ref[0].astype(jnp.float32)                # (B, out_pad)
+
+    # GEMM operand dtype: bf16-mixed casts both operands at each dot and
+    # accumulates f32 on the MXU; everything else stays f32
+    cdt = jnp.bfloat16 if plan.bf16 else jnp.float32
+
+    def mm(a_, b_, dims=(((1,), (0,)), ((), ()))):
+        return jax.lax.dot_general(a_.astype(cdt), b_.astype(cdt),
+                                   dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
     ypad = jnp.concatenate(
         [y, jnp.zeros((B, 128 - plan.out_pad), jnp.float32)], axis=1)
 
@@ -328,8 +342,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
         h = x.astype(jnp.float32)
         for L in lins:
             W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
-            z = jnp.dot(h, W, preferred_element_type=jnp.float32)
-            z = z + th_s[base + L.b_off, :][None, :]
+            z = mm(h, W) + th_s[base + L.b_off, :][None, :]
             if L.bn_layer >= 0:
                 mu = jnp.mean(z, axis=0)
                 c = z - mu[None, :]
@@ -410,16 +423,12 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                     + th_s[base + P.be_off, :][None, :]
                 if P.relu:
                     a = jnp.maximum(a, 0.0)
-            dW = jax.lax.dot_general(
-                a, d, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dW = mm(a, d, (((0,), (0,)), ((), ())))
             g_s[base + L.w_off:base + L.w_off + L.in_rows, :] = dW
             g_s[base + L.b_off, :] = jnp.sum(d, axis=0)
             if li > 0:
                 W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
-                d = jax.lax.dot_general(
-                    d, W, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                d = mm(d, W, (((1,), (1,)), ((), ())))
 
     # ---- optimizer: clip-by-global-norm → bias-corrected Adam → weight
     # decay → p -= lr*u  (mirrors the trainer's optax chain exactly).

@@ -253,7 +253,7 @@ class Trainer:
         fused_cfg = self.trainer_config.get('fused_epochs', True)
         fused_plan = None
         if (fused_cfg and self.mesh_config is None
-                and self.precision in (None, '32-true')
+                and self.precision in (None, '32-true', 'bf16-mixed')
                 and not os.environ.get('NNUEEHCS_TPU_NO_FUSED_TRAIN')
                 and (device.platform == 'tpu' or fused_cfg == 'force')
                 and type(model).__name__ == 'EnsembleModel'
@@ -265,7 +265,8 @@ class Trainer:
                 per_member=model.train_config.get(
                     'ensemble_loss', 'joint_mean') == 'per_member',
                 clip=self.gradient_clip_val,
-                weight_decay=weight_decay)
+                weight_decay=weight_decay,
+                bf16=self.precision == 'bf16-mixed')
         fused_buffers = None
         fused_step0 = 0
         _fused_interp = device.platform != 'tpu'

@@ -280,3 +280,26 @@ def test_trainer_kernel_to_scan_handoff():
     # the hook observed epoch 2's batches and training completed
     assert {e for e, _ in seen} == {2}
     assert 'val_loss' in tr.callback_metrics
+
+
+def test_bf16_mixed_tracks_f32_loosely():
+    """bf16 GEMM operands (f32 accumulation/master weights): the loss curve
+    must track the f32 path within mixed-precision tolerance."""
+    M, B, S, d = 2, 16, 20, 5
+    model = _build(M=M, d=d)
+    plan32 = ft.plan_fused_train(model.net, M, B, loss='l1_loss', clip=5.0)
+    plan16 = ft.plan_fused_train(model.net, M, B, loss='l1_loss', clip=5.0,
+                                 bf16=True)
+    assert plan16.bf16 and not plan32.bf16
+
+    rng = np.random.default_rng(0)
+    xall = rng.normal(size=(S * B, d)).astype(np.float32)
+    yall = xall.sum(axis=1, keepdims=True).astype(np.float32)
+    x, y = jnp.asarray(xall), jnp.asarray(yall)
+
+    _, _, _, _, l32 = _fused_run(model, plan32, x, y, S, B, 1e-3)
+    _, _, _, _, l16 = _fused_run(model, plan16, x, y, S, B, 1e-3)
+    l32, l16 = np.asarray(l32), np.asarray(l16)
+    # same trajectory within bf16 resolution, and learning still happens
+    np.testing.assert_allclose(l16, l32, rtol=0.1, atol=0.05)
+    assert l16[-5:].mean() < 0.9 * l16[:5].mean()

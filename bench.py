@@ -105,19 +105,22 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
 
 def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
                                warmup: int, trials: int, fused: bool = True,
-                               precision=None):
+                               precision=None, kind: str = 'ensemble'):
     """Small-batch *epoch* training throughput (rows/s): ``steps`` × batch-128
     AdamW updates — the BO-trial hot loop (trainer config batch_size=128,
     limit_train_batches, reference ``config.yaml:4-11``).  ``fused`` runs the
     whole epoch as one Pallas kernel (ops/fused_train.py, the path
     ``Trainer`` takes on TPU); ``fused=False`` runs the XLA ``lax.scan``
-    fallback for comparison."""
+    fallback for comparison.  ``kind='mc_dropout'`` trains the single-net
+    MC-dropout model (in-kernel dropout masks) instead of the ensemble."""
     import jax
     import jax.numpy as jnp
     import optax
     from __graft_entry__ import _flagship
 
-    model = _flagship(num_models=num_models)
+    mc = kind == 'mc_dropout'
+    model = _build_model('mc_dropout', num_models) if mc \
+        else _flagship(num_models=num_models)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(steps * batch, 5)), jnp.float32)
     y = jnp.asarray(rng.normal(size=(steps * batch, 1)), jnp.float32)
@@ -125,11 +128,12 @@ def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
 
     if fused:
         from nnueehcs_tpu.ops import fused_train as ft
-        plan = ft.plan_fused_train(model.net, num_models, batch,
+        plan = ft.plan_fused_train(model.net, 1 if mc else num_models, batch,
                                    loss='l1_loss', clip=5.0,
-                                   bf16=precision == 'bf16-mixed')
+                                   bf16=precision == 'bf16-mixed',
+                                   member_stacked=not mc)
         if plan is None:
-            raise RuntimeError('flagship not fusable at this member count')
+            raise RuntimeError('model not fusable at this member count')
         state = {
             'theta': ft.pack_tree(plan, model.params),
             'sigma': ft.pack_state(plan, model.state),
@@ -144,7 +148,8 @@ def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
             (state['theta'], state['m'], state['v'], state['sigma'],
              losses) = ft.fused_epoch(plan, state['theta'], state['m'],
                                       state['v'], state['sigma'], xs, ys,
-                                      lr, state['step0'])
+                                      lr, state['step0'],
+                                      seed=state['step0'] + 1)
             state['step0'] += steps
             return losses
     else:
@@ -280,10 +285,13 @@ def torch_reference_throughput(batch: int, num_models: int, warmup: int,
     return batch / mean_t, mean_t
 
 
-def torch_train_epoch_reference(steps: int, batch: int, num_models: int):
+def torch_train_epoch_reference(steps: int, batch: int, num_models: int,
+                                dropout: float = 0.0):
     """The reference's training hot loop on CPU: Lightning dispatches one
     torch fwd+bwd+AdamW step per batch over the joint-mean ensemble loss
-    (reference ``nnueehcs/models.py:58-63,99-108``)."""
+    (reference ``nnueehcs/models.py:58-63,99-108``).  ``dropout`` interleaves
+    Dropout before the hidden Linears (the MC-dropout training loop,
+    reference ``models.py:124-149``)."""
     import torch
 
     torch.manual_seed(0)
@@ -292,6 +300,8 @@ def torch_train_epoch_reference(steps: int, batch: int, num_models: int):
         layers = [torch.nn.Linear(5, 128), torch.nn.BatchNorm1d(128),
                   torch.nn.ReLU()]
         for _ in range(5):
+            if dropout:
+                layers.append(torch.nn.Dropout(dropout))
             layers += [torch.nn.Linear(128, 128),
                        torch.nn.BatchNorm1d(128), torch.nn.ReLU()]
         layers.append(torch.nn.Linear(128, 1))
@@ -330,7 +340,8 @@ def main():
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--workload', default='ensemble',
                     choices=['ensemble', 'mc_dropout', 'kde',
-                             'ensemble_train', 'ensemble_train_epoch'],
+                             'ensemble_train', 'ensemble_train_epoch',
+                             'mcd_train_epoch'],
                     help='which UQ workload to benchmark (headline: ensemble)')
     ap.add_argument('--precision', default=None,
                     choices=['32-true', 'bf16-mixed'],
@@ -350,21 +361,25 @@ def main():
         import os
         os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
 
-    if args.workload == 'ensemble_train_epoch':
+    if args.workload in ('ensemble_train_epoch', 'mcd_train_epoch'):
         # the BO-trial hot loop: a whole small-batch epoch.  Time the fused
         # Pallas kernel (the Trainer's TPU path) and the XLA scan fallback.
+        mc = args.workload == 'mcd_train_epoch'
+        kind = 'mc_dropout' if mc else 'ensemble'
+        eff_members = 1 if mc else args.num_models
         steps = 50 if args.quick else 500
         ep_batch = 128
         tpu_tp, tpu_t = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
-            max(3, trials // 2), fused=True, precision=args.precision)
+            max(3, trials // 2), fused=True, precision=args.precision,
+            kind=kind)
         scan_tp, scan_t = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
-            max(3, trials // 2), fused=False)
-        flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * args.num_models * 3
+            max(3, trials // 2), fused=False, kind=kind)
+        flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * eff_members * 3
         mfu = tpu_tp * flops_per_row / _V5E_BF16_PEAK_FLOPS
-        print(f'# jax fused-epoch: steps={steps} batch={ep_batch} '
-              f'members={args.num_models} epoch={tpu_t * 1e3:.1f}ms '
+        print(f'# jax fused-epoch ({kind}): steps={steps} batch={ep_batch} '
+              f'members={eff_members} epoch={tpu_t * 1e3:.1f}ms '
               f'({tpu_t / steps * 1e6:.0f}us/step) '
               f'throughput={tpu_tp:,.0f} rows/s mfu={100 * mfu:.1f}%',
               file=sys.stderr)
@@ -376,7 +391,8 @@ def main():
         if not args.skip_baseline:
             try:
                 ref_tp, ref_epoch_t = torch_train_epoch_reference(
-                    steps, ep_batch, args.num_models)
+                    steps, ep_batch, eff_members,
+                    dropout=0.1 if mc else 0.0)
                 print(f'# torch-cpu reference: '
                       f'epoch={ref_epoch_t * 1e3:.1f}ms (scaled) '
                       f'throughput={ref_tp:,.0f} rows/s', file=sys.stderr)
@@ -384,7 +400,8 @@ def main():
             except Exception as e:
                 print(f'# baseline unavailable: {e}', file=sys.stderr)
         print(json.dumps({
-            'metric': 'uq_ensemble_train_epoch_throughput',
+            'metric': f'uq_{args.workload}_throughput'
+                      if mc else 'uq_ensemble_train_epoch_throughput',
             'value': round(tpu_tp, 1),
             'unit': 'samples/s',
             'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,

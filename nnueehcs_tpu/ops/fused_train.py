@@ -51,6 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.layers import Linear, BatchNorm1d, ReLU
+from ..nn.layers import Dropout as _Dropout
 
 # VMEM working-set budget (bytes).  Per-core VMEM is ~16 MB; leave room
 # for the streamed batch blocks and Mosaic temporaries.
@@ -63,8 +64,8 @@ def _pad8(v: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class _Lin:
-    """Static layout of one Linear(+BatchNorm)(+ReLU) block inside a
-    member's parameter slab (row offsets are relative to the slab)."""
+    """Static layout of one (Dropout?)→Linear(+BatchNorm)(+ReLU) block
+    inside a member's parameter slab (row offsets relative to the slab)."""
     layer: int            # index of the Linear in net.layers
     bn_layer: int         # index of the BatchNorm1d, or -1
     w_off: int
@@ -78,6 +79,8 @@ class _Lin:
     var_off: int          # BN running-var row, or -1
     zh_idx: int           # index into the zhat scratch, or -1
     relu: bool
+    drop: float = 0.0     # dropout probability applied to this block's input
+    mask_idx: int = -1    # index into the dropout-mask scratch, or -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,6 +105,10 @@ class FusedTrainPlan:
     # bf16 GEMM operands with f32 accumulation ('bf16-mixed' precision):
     # master weights, BN statistics, loss and the whole optimizer stay f32
     bf16: bool = False
+    # params pytree has a leading member axis (ensembles) vs a single
+    # unstacked net (MC dropout)
+    member_stacked: bool = True
+    n_drop: int = 0       # dropout-mask scratch slots
 
     @property
     def total_rows(self) -> int:
@@ -117,19 +124,23 @@ class FusedTrainPlan:
         sigma = self.total_sig_rows * lane
         zhat = self.n_bn * self.batch * lane        # one member's x̂ stack
         inv = self.n_bn * lane
+        masks = max(self.n_drop, 1) * self.batch * lane
         losses = steps_hint * lane                  # resident loss rows
         batch_io = 2 * self.batch * (self.in_pad + self.out_pad) * 4
-        return buffers + sigma + zhat + inv + losses + batch_io
+        return buffers + sigma + zhat + inv + masks + losses + batch_io
 
 
 def plan_fused_train(net, num_members: int, batch: int, *,
                      loss: str = 'l1_loss', per_member: bool = False,
                      clip: Optional[float] = None,
                      weight_decay: float = 0.0,
-                     bf16: bool = False) -> Optional[FusedTrainPlan]:
+                     bf16: bool = False,
+                     member_stacked: bool = True) -> Optional[FusedTrainPlan]:
     """Build the static layout, or None when the net/config is outside the
-    fused family ([Linear→BatchNorm1d→ReLU?]×k→Linear, widths ≤128, VMEM
-    budget, supported loss)."""
+    fused family ([Dropout?→Linear→BatchNorm1d→ReLU?]×k→Linear, widths
+    ≤128, VMEM budget, supported loss).  Dropout masks come from the
+    on-chip PRNG (a different — statistically equivalent — stream than the
+    jax.random path, same trade the fused MC-dropout eval kernel makes)."""
     if loss not in ('l1_loss', 'mse_loss'):
         return None
     if batch < 2 or batch % 8 != 0:
@@ -140,8 +151,15 @@ def plan_fused_train(net, num_members: int, batch: int, *,
     row = 0
     sig_row = 0
     zh = 0
+    n_drop = 0
     i = 0
     while i < len(layers):
+        p_drop = 0.0
+        if isinstance(layers[i], _Dropout):
+            p_drop = float(layers[i].p)
+            i += 1
+            if i >= len(layers):
+                return None
         lay = layers[i]
         if not isinstance(lay, Linear):
             return None
@@ -150,8 +168,8 @@ def plan_fused_train(net, num_members: int, batch: int, *,
         in_w, out_w = lay.in_features, lay.out_features
         if out_w > 128 or in_w > 128:
             return None
-        first = i == 0
-        in_rows = _pad8(in_w) if first else 128
+        first = not lins          # first *block* (a leading Dropout shifts
+        in_rows = _pad8(in_w) if first else 128   # the Linear's index)
         j = i + 1
         bn_layer = -1
         g_off = be_off = mean_off = var_off = -1
@@ -184,8 +202,13 @@ def plan_fused_train(net, num_members: int, batch: int, *,
             sig_row += 2
             zh_idx = zh
             zh += 1
+        mask_idx = -1
+        if p_drop > 0.0:
+            mask_idx = n_drop
+            n_drop += 1
         lins.append(_Lin(i, bn_layer, w_off, in_rows, in_w, out_w, b_off,
-                         g_off, be_off, mean_off, var_off, zh_idx, relu))
+                         g_off, be_off, mean_off, var_off, zh_idx, relu,
+                         drop=p_drop, mask_idx=mask_idx))
         i = j
     if not lins or lins[-1].bn_layer >= 0 or lins[-1].relu:
         return None
@@ -207,7 +230,11 @@ def plan_fused_train(net, num_members: int, batch: int, *,
         clip=float(clip) if clip else None,
         weight_decay=float(weight_decay or 0.0),
         bf16=bool(bf16),
+        member_stacked=bool(member_stacked),
+        n_drop=n_drop,
     )
+    if not member_stacked and num_members != 1:
+        return None
     # all BN layers must share eps/momentum (they do in every config)
     for L in lins:
         if L.bn_layer >= 0:
@@ -228,16 +255,26 @@ def pack_tree(plan: FusedTrainPlan, tree) -> jnp.ndarray:
     M = plan.num_members
     out = jnp.zeros((M, plan.slab_rows, 128), jnp.float32)
     for L in plan.lins:
-        w = jnp.asarray(tree[L.layer]['w'], jnp.float32)
+        w = _stacked(plan, tree[L.layer]['w'])
         out = out.at[:, L.w_off:L.w_off + L.in_w, :L.out_w].set(w)
-        b = jnp.asarray(tree[L.layer]['b'], jnp.float32)
+        b = _stacked(plan, tree[L.layer]['b'])
         out = out.at[:, L.b_off, :L.out_w].set(b)
         if L.bn_layer >= 0:
-            sc = jnp.asarray(tree[L.bn_layer]['scale'], jnp.float32)
-            bi = jnp.asarray(tree[L.bn_layer]['bias'], jnp.float32)
+            sc = _stacked(plan, tree[L.bn_layer]['scale'])
+            bi = _stacked(plan, tree[L.bn_layer]['bias'])
             out = out.at[:, L.g_off, :L.out_w].set(sc)
             out = out.at[:, L.be_off, :L.out_w].set(bi)
     return out.reshape(M * plan.slab_rows, 128)
+
+
+def _stacked(plan: FusedTrainPlan, leaf):
+    """Leaf with a leading member axis (added for unstacked nets)."""
+    a = jnp.asarray(leaf, jnp.float32)
+    return a if plan.member_stacked else a[None]
+
+
+def _unstack(plan: FusedTrainPlan, a):
+    return a if plan.member_stacked else a[0]
 
 
 def unpack_tree(plan: FusedTrainPlan, theta, template) -> tuple:
@@ -247,13 +284,13 @@ def unpack_tree(plan: FusedTrainPlan, theta, template) -> tuple:
     new = [dict(d) for d in template]
     for L in plan.lins:
         new[L.layer] = {
-            'w': th[:, L.w_off:L.w_off + L.in_w, :L.out_w],
-            'b': th[:, L.b_off, :L.out_w],
+            'w': _unstack(plan, th[:, L.w_off:L.w_off + L.in_w, :L.out_w]),
+            'b': _unstack(plan, th[:, L.b_off, :L.out_w]),
         }
         if L.bn_layer >= 0:
             new[L.bn_layer] = {
-                'scale': th[:, L.g_off, :L.out_w],
-                'bias': th[:, L.be_off, :L.out_w],
+                'scale': _unstack(plan, th[:, L.g_off, :L.out_w]),
+                'bias': _unstack(plan, th[:, L.be_off, :L.out_w]),
             }
     return tuple(new)
 
@@ -265,8 +302,8 @@ def pack_state(plan: FusedTrainPlan, state) -> jnp.ndarray:
          jnp.zeros((M, plan.sig_rows, 64), jnp.float32)], axis=-1)
     for L in plan.lins:
         if L.bn_layer >= 0:
-            mean = jnp.asarray(state[L.bn_layer]['mean'], jnp.float32)
-            var = jnp.asarray(state[L.bn_layer]['var'], jnp.float32)
+            mean = _stacked(plan, state[L.bn_layer]['mean'])
+            var = _stacked(plan, state[L.bn_layer]['var'])
             out = out.at[:, L.mean_off, :L.out_w].set(mean)
             out = out.at[:, L.var_off, :L.out_w].set(var)
     return out.reshape(M * plan.sig_rows, 128)
@@ -279,8 +316,8 @@ def unpack_state(plan: FusedTrainPlan, sigma, template) -> tuple:
     for L in plan.lins:
         if L.bn_layer >= 0:
             new[L.bn_layer] = {
-                'mean': sg[:, L.mean_off, :L.out_w],
-                'var': sg[:, L.var_off, :L.out_w],
+                'mean': _unstack(plan, sg[:, L.mean_off, :L.out_w]),
+                'var': _unstack(plan, sg[:, L.var_off, :L.out_w]),
             }
     return tuple(new)
 
@@ -299,10 +336,11 @@ def _loss_and_grad(plan, diff):
     return jnp.sum(diff * diff), 2.0 * diff / denom
 
 
-def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
+def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
+                  x_ref, y_ref,
                   th_in, m_in, v_in, sg_in,
                   th_out, m_out, v_out, sg_out, loss_ref,
-                  th_s, m_s, v_s, g_s, sg_s, zh_s, inv_s, sem):
+                  th_s, m_s, v_s, g_s, sg_s, zh_s, inv_s, mk_s, sem):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -336,11 +374,44 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
     ypad = jnp.concatenate(
         [y, jnp.zeros((B, 128 - plan.out_pad), jnp.float32)], axis=1)
 
-    def forward(m, update_ema, save_zhat):
+    def _gen_mask(keep, shape, salt):
+        """Stateless counter-based dropout mask: position ⊕ salt through a
+        murmur3-style finalizer (lowbias32), top 24 bits → uniform [0,1),
+        keep-mask scaled by 1/keep.  Pure lax ops, so the stream is
+        bit-identical between the compiled TPU kernel and the interpreter
+        (unlike the hardware PRNG the fused eval kernel uses) — the same
+        (seed, step, member, layer) always regenerates the same mask."""
+        bc = jax.lax.bitcast_convert_type
+        r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        x = bc(salt, jnp.uint32) * jnp.uint32(0x9E3779B9)
+        x = x + bc(r, jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        x = x + bc(c, jnp.uint32) * jnp.uint32(0xC2B2AE35)
+        x = x ^ (x >> jnp.uint32(16))
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> jnp.uint32(15))
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> jnp.uint32(16))
+        u = bc(x >> jnp.uint32(8), jnp.int32).astype(jnp.float32) \
+            * (1.0 / (1 << 24))
+        return (u < keep).astype(jnp.float32) * (1.0 / keep)
+
+    def forward(m, update_ema, save_zhat, save_masks=False):
+        """One member's training-mode forward.  Dropout masks are a pure
+        function of (seed, step, member, layer), so the loss sweep and the
+        backward's recompute regenerate the exact same stochasticity
+        without storing masks across members."""
         base = m * plan.slab_rows
         sbase = m * plan.sig_rows
         h = x.astype(jnp.float32)
         for L in lins:
+            if L.drop > 0.0:
+                salt = (seed_ref[0, 0] + i * 7919 + m * 131071
+                        + L.mask_idx * 524287)
+                mask = _gen_mask(1.0 - L.drop, h.shape, salt)
+                if save_masks:
+                    mk_s[L.mask_idx, :, :h.shape[1]] = mask
+                h = h * mask
             W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
             z = mm(h, W) + th_s[base + L.b_off, :][None, :]
             if L.bn_layer >= 0:
@@ -366,34 +437,34 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                 h = jnp.maximum(h, 0.0)
         return h
 
-    # ---- loss sweep: all members; BN running-stat EMA happens here (once)
-    loss_sum = jnp.float32(0.0)
-    predsum = None
-    for m in range(M):
-        h = forward(m, update_ema=True, save_zhat=False)
-        if plan.per_member:
-            term, _ = _loss_and_grad(plan, h - ypad)
-            loss_sum = loss_sum + term
-        else:
-            predsum = h if predsum is None else predsum + h
-
     ow = lins[-1].out_w
-    if plan.per_member:
-        loss_t = loss_sum / (B * ow * M)
-        dpred_shared = None
-    else:
+    # single-sweep mode: when the loss decouples across members (per-member
+    # loss, or a single net) the backward's recomputed forward doubles as
+    # the loss pass — one forward fewer per member
+    single_sweep = plan.per_member or M == 1
+
+    dpred_shared = None
+    loss_sum = jnp.float32(0.0)
+    if not single_sweep:
+        # joint-mean loss couples members: loss sweep first (EMA here)
+        predsum = None
+        for m in range(M):
+            h = forward(m, update_ema=True, save_zhat=False)
+            predsum = h if predsum is None else predsum + h
         predm = predsum * (1.0 / M)
         term, dpred_shared = _loss_and_grad(plan, predm - ypad)
         loss_t = term / (B * ow)
         dpred_shared = dpred_shared * (1.0 / M)
 
-    # ---- backward: recompute each member's forward (saving x̂/inv), then
-    # walk the chain in reverse writing grads into g_s
+    # ---- backward: recompute each member's forward (saving x̂/inv and any
+    # dropout masks), then walk the chain in reverse writing grads into g_s
     for m in range(M):
         base = m * plan.slab_rows
-        h = forward(m, update_ema=False, save_zhat=True)
-        if plan.per_member:
-            _, d = _loss_and_grad(plan, h - ypad)
+        h = forward(m, update_ema=single_sweep, save_zhat=True,
+                    save_masks=plan.n_drop > 0)
+        if single_sweep:
+            term, d = _loss_and_grad(plan, h - ypad)
+            loss_sum = loss_sum + term
             d = d * (1.0 / M)
         else:
             d = dpred_shared
@@ -416,6 +487,8 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                                           - zh * s2[None, :])
             if li == 0:
                 a = x.astype(jnp.float32)
+                if L.drop > 0.0:
+                    a = a * mk_s[L.mask_idx, :, :a.shape[1]]
             else:
                 P = lins[li - 1]
                 a = zh_s[P.zh_idx, :, :] \
@@ -423,12 +496,19 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                     + th_s[base + P.be_off, :][None, :]
                 if P.relu:
                     a = jnp.maximum(a, 0.0)
+                if L.drop > 0.0:
+                    a = a * mk_s[L.mask_idx, :, :]
             dW = mm(a, d, (((0,), (0,)), ((), ())))
             g_s[base + L.w_off:base + L.w_off + L.in_rows, :] = dW
             g_s[base + L.b_off, :] = jnp.sum(d, axis=0)
             if li > 0:
                 W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
                 d = mm(d, W, (((1,), (1,)), ((), ())))
+                if L.drop > 0.0:
+                    d = d * mk_s[L.mask_idx, :, :]
+
+    if single_sweep:
+        loss_t = loss_sum / (B * ow * M)
 
     # ---- optimizer: clip-by-global-norm → bias-corrected Adam → weight
     # decay → p -= lr*u  (mirrors the trainer's optax chain exactly).
@@ -481,9 +561,11 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, x_ref, y_ref,
                    static_argnames=('plan', 'interpret'),
                    donate_argnums=(1, 2, 3, 4))
 def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
-                step0, interpret: bool = False):
+                step0, seed=0, interpret: bool = False):
     """Run one training epoch (xs: (S, B, in_pad), ys: (S, B, out_pad)) as
-    a single Pallas program.  Returns (theta, m, v, sigma, losses[S])."""
+    a single Pallas program.  ``seed`` drives the in-kernel dropout PRNG
+    (ignored for dropout-free chains).  Returns (theta, m, v, sigma,
+    losses[S])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -501,6 +583,7 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
         in_specs=[
             smem_scalar,                                     # lr
             smem_scalar,                                     # step0
+            smem_scalar,                                     # dropout seed
             pl.BlockSpec((1, plan.batch, plan.in_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # xs
             pl.BlockSpec((1, plan.batch, plan.out_pad), lambda i: (i, 0, 0),
@@ -529,9 +612,11 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
             pltpu.VMEM((G, 128), jnp.float32),               # sigma
             pltpu.VMEM((plan.n_bn, plan.batch, 128), jnp.float32),
             pltpu.VMEM((plan.n_bn, 128), jnp.float32),
+            pltpu.VMEM((max(plan.n_drop, 1), plan.batch, 128),
+                       jnp.float32),                         # dropout masks
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024,
@@ -539,6 +624,7 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
         interpret=interpret,
     )(jnp.asarray(lr, jnp.float32).reshape(1, 1),
       jnp.asarray(step0, jnp.int32).reshape(1, 1),
+      jnp.asarray(seed, jnp.int32).reshape(1, 1),
       xs, ys, theta, m, v, sigma)
     return theta, m, v, sigma, losses[:, 0]
 
@@ -559,3 +645,40 @@ def gather_epoch_batches(plan: FusedTrainPlan, x, y, idx_flat):
         yb = jnp.pad(yb, ((0, 0), (0, plan.out_pad - ow)))
     return (xb.reshape(S, plan.batch, plan.in_pad),
             yb.reshape(S, plan.batch, plan.out_pad))
+
+
+def gather_anchored_epoch_batches(plan: FusedTrainPlan, x, y, idx_flat,
+                                  epoch_rng):
+    """Δ-UQ/PAGER stochastic-centering batches (traceable): per step the
+    (B, d) batch doubles to ``(2B, 2d) = [concat([a1, x−a1]);
+    concat([a2, x−a2])]`` with a1/a2 independent permutations of the batch
+    itself, targets ``[y; y]`` (reference ``nnueehcs/models.py:306-311``
+    via models/delta_uq.train_output).  The per-step keys replicate the
+    trainer's scan path exactly — ``fold_in(epoch_rng, step)`` then
+    ``fold_in(·, 0/1)`` — so the fused and scan Δ-UQ paths see
+    bit-identical anchor draws.  ``plan.batch`` is the *doubled* batch."""
+    B = plan.batch // 2
+    S = idx_flat.shape[0] // B
+    xb = jnp.asarray(x, jnp.float32)[idx_flat].reshape(S, B, -1)
+    yb = jnp.asarray(y, jnp.float32)[idx_flat]
+    if yb.ndim == 1:
+        yb = yb[:, None]
+    yb = yb.reshape(S, B, -1)
+
+    def one_step(s, xs):
+        rng = jax.random.fold_in(epoch_rng, s)
+        a1 = xs[jax.random.permutation(jax.random.fold_in(rng, 0), B)]
+        a2 = xs[jax.random.permutation(jax.random.fold_in(rng, 1), B)]
+        return jnp.concatenate(
+            [jnp.concatenate([a1, xs - a1], axis=-1),
+             jnp.concatenate([a2, xs - a2], axis=-1)], axis=0)
+
+    xs2 = jax.vmap(one_step)(jnp.arange(S), xb)          # (S, 2B, 2d)
+    ys2 = jnp.concatenate([yb, yb], axis=1)              # (S, 2B, out)
+    d2 = xs2.shape[-1]
+    if d2 < plan.in_pad:
+        xs2 = jnp.pad(xs2, ((0, 0), (0, 0), (0, plan.in_pad - d2)))
+    ow = ys2.shape[-1]
+    if ow < plan.out_pad:
+        ys2 = jnp.pad(ys2, ((0, 0), (0, 0), (0, plan.out_pad - ow)))
+    return xs2, ys2

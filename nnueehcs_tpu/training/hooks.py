@@ -33,6 +33,19 @@ class TrainerHook:
     def on_fit_end(self, trainer, model):
         pass
 
+    def fusion_quiescent(self, epoch) -> bool:
+        """True when, for ``epoch``, this hook will not mutate the model in
+        ``on_train_epoch_end``/``on_validation_epoch_start`` — the trainer
+        may then fold validation into the fused epoch program (one host
+        sync per epoch).  Default: quiescent unless the hook overrides one
+        of those mutation points; hooks that mutate only during a fitting
+        window (UQ fit/anchor capture on epoch 0) override this with their
+        own epoch test."""
+        cls = type(self)
+        return (cls.on_validation_epoch_start
+                is TrainerHook.on_validation_epoch_start
+                and cls.on_train_epoch_end is TrainerHook.on_train_epoch_end)
+
 
 class KDEFitHook(TrainerHook):
     """Buffer epoch-0 training inputs, fit the KDE at the end of epoch 0
@@ -57,6 +70,11 @@ class KDEFitHook(TrainerHook):
             model.fit_kde(np.concatenate(self._train_data_to_fit))
         self._epochs += 1
 
+    def fusion_quiescent(self, epoch):
+        # fit/capture happens during epoch 0; afterwards only the epoch
+        # counter advances (no model mutation)
+        return self._epochs >= 1
+
 
 class KNNKDEFitHook(TrainerHook):
     """Same capture, but fit happens at the first validation-epoch start
@@ -76,6 +94,11 @@ class KNNKDEFitHook(TrainerHook):
         if self._epochs == 0 and self._train_data_to_fit:
             model.fit_kde(np.concatenate(self._train_data_to_fit))
         self._epochs += 1
+
+    def fusion_quiescent(self, epoch):
+        # fit/capture happens during epoch 0; afterwards only the epoch
+        # counter advances (no model mutation)
+        return self._epochs >= 1
 
 
 class DeltaUQGetAnchorsHook(TrainerHook):
@@ -99,6 +122,11 @@ class DeltaUQGetAnchorsHook(TrainerHook):
             data = np.concatenate(self._train_data_to_fit)
             model.anchors = data[:model.num_anchors]
         self._epochs += 1
+
+    def fusion_quiescent(self, epoch):
+        # fit/capture happens during epoch 0; afterwards only the epoch
+        # counter advances (no model mutation)
+        return self._epochs >= 1
 
 
 class PAGERGetAnchorsHook(TrainerHook):
@@ -124,3 +152,8 @@ class PAGERGetAnchorsHook(TrainerHook):
             model.anchors = np.concatenate(self._anchor_X)[:n]
             model.anchors_Y = np.concatenate(self._anchor_Y)[:n]
         self._epochs += 1
+
+    def fusion_quiescent(self, epoch):
+        # fit/capture happens during epoch 0; afterwards only the epoch
+        # counter advances (no model mutation)
+        return self._epochs >= 1

@@ -170,6 +170,9 @@ class Trainer:
             self.callback_metrics['train_loss'] = float(losses_np[-1])
 
     def fit(self, model, train_dataloaders, val_dataloaders=None):
+        # epochs that ran through the fused whole-epoch kernel (observable
+        # for tests/benchmarks)
+        self.fused_epochs_used = 0
         device = self._device()
         with jax.default_device(device):
             return self._fit(model, train_dataloaders, val_dataloaders, device)
@@ -252,21 +255,29 @@ class Trainer:
         # 'force'` engages the interpreter path off-TPU (tests).
         fused_cfg = self.trainer_config.get('fused_epochs', True)
         fused_plan = None
+        # single-net families run the kernel unstacked; Δ-UQ/PAGER train on
+        # the doubled stochastic-centering batch (anchored gather below)
+        _single_net = type(model).__name__ in ('MCDropoutModel',
+                                               'DeltaUQMLP', 'PAGERMLP')
+        _anchored = type(model).__name__ in ('DeltaUQMLP', 'PAGERMLP')
+        _fusable = _single_net or type(model).__name__ == 'EnsembleModel'
         if (fused_cfg and self.mesh_config is None
                 and self.precision in (None, '32-true', 'bf16-mixed')
                 and not os.environ.get('NNUEEHCS_TPU_NO_FUSED_TRAIN')
                 and (device.platform == 'tpu' or fused_cfg == 'force')
-                and type(model).__name__ == 'EnsembleModel'
+                and _fusable
                 and np.dtype(dtype) == np.float32):
             from ..ops import fused_train as _ft
             fused_plan = _ft.plan_fused_train(
-                model.net, model.num_models, bs,
+                model.net, 1 if _single_net else model.num_models,
+                2 * bs if _anchored else bs,
                 loss=model.train_config.get('loss', 'l1_loss'),
-                per_member=model.train_config.get(
+                per_member=not _single_net and model.train_config.get(
                     'ensemble_loss', 'joint_mean') == 'per_member',
                 clip=self.gradient_clip_val,
                 weight_decay=weight_decay,
-                bf16=self.precision == 'bf16-mixed')
+                bf16=self.precision == 'bf16-mixed',
+                member_stacked=not _single_net)
         fused_buffers = None
         fused_step0 = 0
         _fused_interp = device.platform != 'tpu'
@@ -318,18 +329,11 @@ class Trainer:
             and nb_train > full_batches
         sample_n = full_batches * bs
 
-        def epoch_with_val(params, state, opt_state, xt, yt, perm, offset,
-                           lr, epoch_rng, val_xs, val_ys, epoch_idx,
-                           nb_val_, val_key_):
-            """Train epoch + validation fused into ONE program, with the
-            epoch's batch indices sliced from the device-resident
-            permutation and the validation RNGs derived on device — a
-            single dispatch and a single host sync per epoch."""
-            idx_flat = jax.lax.dynamic_slice(perm, (offset,), (sample_n,))
-            idx_mat = idx_flat.reshape(full_batches, bs)
-            params, state, opt_state, losses = epoch_scan(
-                params, state, opt_state, xt, yt, idx_mat, lr, epoch_rng)
-
+        def _weighted_val(params, state, val_xs_, val_ys_, vt_x_, vt_y_,
+                          epoch_idx, nb_val_, val_key_):
+            """Size-weighted validation mean over the full-batch scan plus
+            the (statically-shaped) partial tail batch — identical numbers
+            and RNG stream to the unfused per-batch loop below."""
             val_rngs = jax.vmap(
                 lambda b: jax.random.fold_in(val_key_,
                                              epoch_idx * 100003 + b))(
@@ -339,53 +343,78 @@ class Trainer:
                 xb, yb, rng = inp
                 return None, model.validation_loss(params, state, (xb, yb),
                                                    rng)
-            _, vlosses = jax.lax.scan(vbody, None, (val_xs, val_ys, val_rngs))
+            _, vlosses = jax.lax.scan(vbody, None,
+                                      (val_xs_, val_ys_, val_rngs))
+            wsum = jnp.sum(vlosses) * val_bs
+            wtot = nb_val_ * val_bs
+            if vt_x_.shape[0]:
+                rng_t = jax.random.fold_in(val_key_,
+                                           epoch_idx * 100003 + nb_val_)
+                tl = model.validation_loss(params, state, (vt_x_, vt_y_),
+                                           rng_t)
+                wsum = wsum + tl * vt_x_.shape[0]
+                wtot = wtot + vt_x_.shape[0]
+            return wsum / wtot
+
+        def epoch_with_val(params, state, opt_state, xt, yt, perm, offset,
+                           lr, epoch_rng, val_xs, val_ys, vt_x_, vt_y_,
+                           epoch_idx, nb_val_, val_key_):
+            """Train epoch + validation fused into ONE program, with the
+            epoch's batch indices sliced from the device-resident
+            permutation and the validation RNGs derived on device — a
+            single dispatch and a single host sync per epoch."""
+            idx_flat = jax.lax.dynamic_slice(perm, (offset,), (sample_n,))
+            idx_mat = idx_flat.reshape(full_batches, bs)
+            params, state, opt_state, losses = epoch_scan(
+                params, state, opt_state, xt, yt, idx_mat, lr, epoch_rng)
+
+            vmean = _weighted_val(params, state, val_xs, val_ys, vt_x_,
+                                  vt_y_, epoch_idx, nb_val_, val_key_)
             # train losses and the epoch val loss ride ONE host transfer
             out = jnp.concatenate([losses.astype(jnp.float32),
-                                   jnp.mean(vlosses)[None].astype(jnp.float32)])
+                                   vmean[None].astype(jnp.float32)])
             return params, state, opt_state, out
 
         fused_epoch_jit = jax.jit(epoch_with_val, donate_argnums=(0, 1, 2),
-                                  static_argnums=(12,))
+                                  static_argnums=(14,))
 
         if fused_plan is not None:
             from ..ops.fused_train import (fused_epoch, gather_epoch_batches,
+                                           gather_anchored_epoch_batches,
                                            pack_tree, pack_state,
                                            unpack_tree, unpack_state)
 
             def kernel_epoch_with_val(theta, mbuf, vbuf, sigma, xt, yt,
-                                      perm, offset, lr, step0, val_xs_,
-                                      val_ys_, epoch_idx, nb_val_, val_key_):
+                                      perm, offset, lr, step0, ep_seed,
+                                      ep_rng_, val_xs_, val_ys_, vt_x_,
+                                      vt_y_, epoch_idx, nb_val_, val_key_):
                 """Whole epoch as one Pallas kernel + the validation scan,
                 fused into a single program/host sync (the kernel analogue
                 of epoch_with_val)."""
                 idx_flat = jax.lax.dynamic_slice(perm, (offset,), (sample_n,))
-                xs, ys = gather_epoch_batches(fused_plan, xt, yt, idx_flat)
+                if _anchored:
+                    xs, ys = gather_anchored_epoch_batches(
+                        fused_plan, xt, yt, idx_flat, ep_rng_)
+                else:
+                    xs, ys = gather_epoch_batches(fused_plan, xt, yt,
+                                                  idx_flat)
                 theta, mbuf, vbuf, sigma, losses = fused_epoch(
                     fused_plan, theta, mbuf, vbuf, sigma, xs, ys, lr, step0,
-                    interpret=_fused_interp)
+                    seed=ep_seed, interpret=_fused_interp)
                 params = unpack_tree(fused_plan, theta, model.params)
                 state = unpack_state(fused_plan, sigma, model.state)
 
-                val_rngs = jax.vmap(
-                    lambda b: jax.random.fold_in(val_key_,
-                                                 epoch_idx * 100003 + b))(
-                    jnp.arange(nb_val_))
-
-                def vbody(_, inp):
-                    xb, yb, rng = inp
-                    return None, model.validation_loss(params, state,
-                                                       (xb, yb), rng)
-                _, vlosses = jax.lax.scan(vbody, None,
-                                          (val_xs_, val_ys_, val_rngs))
+                vmean = _weighted_val(params, state, val_xs_, val_ys_,
+                                      vt_x_, vt_y_, epoch_idx, nb_val_,
+                                      val_key_)
                 out = jnp.concatenate(
                     [losses.astype(jnp.float32),
-                     jnp.mean(vlosses)[None].astype(jnp.float32)])
+                     vmean[None].astype(jnp.float32)])
                 return theta, mbuf, vbuf, sigma, params, state, out
 
             kernel_epoch_jit = jax.jit(kernel_epoch_with_val,
                                        donate_argnums=(0, 1, 2, 3),
-                                       static_argnums=(13,))
+                                       static_argnums=(17,))
 
             def _adam_index():
                 return 1 if self.gradient_clip_val else 0
@@ -453,24 +482,27 @@ class Trainer:
         lr_scale = 1.0
 
         # ----- fused train+val eligibility: no hook may need to act between
-        # the phases (UQ fit/anchor hooks mutate the model at validation
-        # start / train-epoch end), and validation must consist of full-size
-        # batches only
-        def _overrides(h, name):
-            return getattr(type(h), name) is not getattr(TrainerHook, name)
+        # the phases on THIS epoch (UQ fit/anchor hooks mutate the model at
+        # validation start / train-epoch end, but only until their fit is
+        # done — TrainerHook.fusion_quiescent), and validation must consist
+        # of full-size batches only
+        def val_fusion_ok(epoch):
+            return all(h.fusion_quiescent(epoch) for h in hooks)
 
-        hooks_block_fusion = any(
-            _overrides(h, 'on_validation_epoch_start')
-            or _overrides(h, 'on_train_epoch_end') for h in hooks)
+        # full-size val batches ride the scan; a partial tail batch (static
+        # shape) is folded into the size-weighted mean inside the program
         n_val_total = x_val.shape[0]
-        val_full_only = nb_val * val_bs <= n_val_total
-        if val_full_only and not hooks_block_fusion:
-            val_xs = x_val[:nb_val * val_bs].reshape(nb_val, val_bs,
-                                                     *x_val.shape[1:])
-            val_ys = y_val[:nb_val * val_bs].reshape(nb_val, val_bs,
-                                                     *y_val.shape[1:])
+        nb_val_full = min(nb_val, n_val_total // val_bs)
+        vt_lo = nb_val_full * val_bs
+        vt_hi = min(nb_val * val_bs, n_val_total)
+        if nb_val_full > 0:
+            val_xs = x_val[:vt_lo].reshape(nb_val_full, val_bs,
+                                           *x_val.shape[1:])
+            val_ys = y_val[:vt_lo].reshape(nb_val_full, val_bs,
+                                           *y_val.shape[1:])
+            vt_x, vt_y = x_val[vt_lo:vt_hi], y_val[vt_lo:vt_hi]
         else:
-            val_xs = val_ys = None
+            val_xs = val_ys = vt_x = vt_y = None
 
         params, state, opt = model.params, model.state, opt_state
 
@@ -510,17 +542,27 @@ class Trainer:
             # program (params/Adam/BN-stats VMEM-resident) + validation,
             # still a single host sync per epoch
             kernel_ok = (fused_plan is not None and val_xs is not None
+                         and val_fusion_ok(epoch)
                          and not batch_hooks and not has_tail
                          and full_batches > 0)
+            if os.environ.get('NNUEEHCS_DEBUG_GATE'):
+                print('EPOCH', epoch, 'ok', kernel_ok, 'plan',
+                      fused_plan is not None, 'val', val_xs is not None,
+                      'vfo', val_fusion_ok(epoch), 'bh', batch_hooks,
+                      'tail', has_tail, 'fb', full_batches, flush=True)
             if kernel_ok:
+                self.fused_epochs_used += 1
                 if fused_buffers is None:
                     fused_buffers, fused_step0 = _pack_fused(params, state,
                                                              opt)
                 th, mb, vb, sg = fused_buffers
+                ep_seed = (self.seed * 1000003 + epoch * 7919) & 0x7fffffff
                 th, mb, vb, sg, params, state, larr = kernel_epoch_jit(
                     th, mb, vb, sg, x_train, y_train, perm, offset_dev,
-                    lr, jnp.asarray(fused_step0, jnp.int32), val_xs, val_ys,
-                    jnp.asarray(epoch, jnp.int32), nb_val, val_key)
+                    lr, jnp.asarray(fused_step0, jnp.int32),
+                    jnp.asarray(ep_seed, jnp.int32), epoch_rng,
+                    val_xs, val_ys, vt_x, vt_y,
+                    jnp.asarray(epoch, jnp.int32), nb_val_full, val_key)
                 fused_buffers = [th, mb, vb, sg]
                 fused_step0 += full_batches
                 model.params, model.state = params, state
@@ -553,13 +595,14 @@ class Trainer:
 
             # ---- fully fused path: train scan + validation in ONE program,
             # a single host sync per epoch
-            fused_ok = (val_xs is not None and not batch_hooks
+            fused_ok = (val_xs is not None and val_fusion_ok(epoch)
+                        and not batch_hooks
                         and not has_tail and full_batches > 0)
             if fused_ok:
                 params, state, opt, larr = fused_epoch_jit(
                     params, state, opt, x_train, y_train, perm, offset_dev,
-                    lr, epoch_rng, val_xs, val_ys,
-                    jnp.asarray(epoch, jnp.int32), nb_val, val_key)
+                    lr, epoch_rng, val_xs, val_ys, vt_x, vt_y,
+                    jnp.asarray(epoch, jnp.int32), nb_val_full, val_key)
                 model.params, model.state = params, state
                 arr = np.asarray(larr)               # the one host sync
                 losses_np = arr[:-1]

@@ -185,12 +185,28 @@ def test_pack_unpack_roundtrip():
 def test_plan_rejections():
     from nnueehcs_tpu.nn.network import build_network
     M, B = 2, 16
-    # dropout in the chain → not fusable
+    # dropout *before* a Linear is fusable (MC dropout family) …
     net = build_network([{'Linear': {'args': [5, 16]}},
                          {'BatchNorm1d': {'args': [16]}},
                          {'Dropout': {'args': [0.1]}},
                          {'Linear': {'args': [16, 1]}}])
+    plan = ft.plan_fused_train(net, M, B)
+    assert plan is not None and plan.n_drop == 1
+    # … but a trailing Dropout (after the last Linear) is not
+    net = build_network([{'Linear': {'args': [5, 16]}},
+                         {'BatchNorm1d': {'args': [16]}}, {'ReLU': {}},
+                         {'Linear': {'args': [16, 1]}},
+                         {'Dropout': {'args': [0.1]}}])
     assert ft.plan_fused_train(net, M, B) is None
+    # unstacked (member_stacked=False) only makes sense for one member
+    good_drop = build_network([{'Linear': {'args': [5, 16]}},
+                               {'BatchNorm1d': {'args': [16]}}, {'ReLU': {}},
+                               {'Dropout': {'args': [0.25]}},
+                               {'Linear': {'args': [16, 1]}}])
+    assert ft.plan_fused_train(good_drop, 2, B,
+                               member_stacked=False) is None
+    assert ft.plan_fused_train(good_drop, 1, B,
+                               member_stacked=False) is not None
     # non-final Linear without BatchNorm → not fusable
     net = build_network([{'Linear': {'args': [5, 16]}}, {'ReLU': {}},
                          {'Linear': {'args': [16, 1]}}])
@@ -280,6 +296,236 @@ def test_trainer_kernel_to_scan_handoff():
     # the hook observed epoch 2's batches and training completed
     assert {e for e, _ in seen} == {2}
     assert 'val_loss' in tr.callback_metrics
+
+
+# ---------------------------------------------------------------------------
+# MC-dropout family: unstacked single net, in-kernel dropout masks
+# ---------------------------------------------------------------------------
+def _build_mc(p, d=5, num_samples=4):
+    from nnueehcs_tpu.model_builder import MCDropoutModelBuilder
+    model = MCDropoutModelBuilder(
+        _arch(d=d), {'num_samples': num_samples, 'dropout_percent': p},
+        train_config={'loss': 'l1_loss'}).build()
+    model.init(jax.random.PRNGKey(0), (d,))
+    return model
+
+
+def _mc_plan(model, B, p0_expected=None):
+    plan = ft.plan_fused_train(model.net, 1, B, loss='l1_loss', clip=5.0,
+                               member_stacked=False)
+    assert plan is not None and not plan.member_stacked
+    if p0_expected is not None:
+        assert plan.n_drop == p0_expected
+    return plan
+
+
+def test_mcdropout_unstacked_roundtrip():
+    model = _build_mc(0.3)
+    plan = _mc_plan(model, 16, p0_expected=1)
+    theta = ft.pack_tree(plan, model.params)
+    p2 = ft.unpack_tree(plan, theta, model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(p2)):
+        assert a.shape == b.shape          # no stray member axis
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sigma = ft.pack_state(plan, model.state)
+    s2 = ft.unpack_state(plan, sigma, model.state)
+    for a, b in zip(jax.tree_util.tree_leaves(model.state),
+                    jax.tree_util.tree_leaves(s2)):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mcdropout_p0_matches_xla_exactly():
+    """dropout_percent=0 makes both paths deterministic: the fused epoch
+    must reproduce the XLA trajectory exactly (pins the unstacked packing
+    and single-sweep loss/grad path end-to-end)."""
+    B, S, d = 16, 8, 5
+    model = _build_mc(0.0)
+    plan = _mc_plan(model, B, p0_expected=0)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S * B, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(S * B, 1)), jnp.float32)
+
+    _, _, _, losses_ref = _reference_run(model, x, y, S, B, 1e-3, 5.0, 0.0)
+    _, _, _, _, losses = _fused_run(model, plan, x, y, S, B, 1e-3)
+    np.testing.assert_allclose(np.asarray(losses), losses_ref, atol=5e-6)
+
+
+def test_mcdropout_seed_semantics():
+    """Same seed → bit-identical epoch; different seed → different masks
+    (and so a different trajectory)."""
+    B, S, d = 16, 6, 5
+    model = _build_mc(0.5)
+    plan = _mc_plan(model, B, p0_expected=1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S * B, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(S * B, 1)), jnp.float32)
+    xs, ys = ft.gather_epoch_batches(plan, x, y, jnp.arange(S * B))
+
+    def run(seed):
+        theta = ft.pack_tree(plan, model.params)
+        sigma = ft.pack_state(plan, model.state)
+        out = ft.fused_epoch(plan, theta, jnp.zeros_like(theta),
+                             jnp.zeros_like(theta), sigma, xs, ys, 1e-3, 0,
+                             seed=seed, interpret=True)
+        return np.asarray(out[4]), np.asarray(out[0])
+
+    l_a, th_a = run(123)
+    l_b, th_b = run(123)
+    l_c, _ = run(456)
+    np.testing.assert_array_equal(l_a, l_b)
+    np.testing.assert_array_equal(th_a, th_b)
+    assert not np.allclose(l_a, l_c)
+
+
+def test_mcdropout_dropout_epoch_trains():
+    """With active dropout the fused trajectory still learns, and lands in
+    the neighbourhood of the XLA dropout path (different PRNG streams —
+    trajectories are compared loosely on the smoothed tail)."""
+    B, S, d = 16, 60, 5
+    model = _build_mc(0.2)
+    plan = _mc_plan(model, B, p0_expected=1)
+
+    rng = np.random.default_rng(0)
+    xall = rng.normal(size=(S * B, d)).astype(np.float32)
+    yall = (xall.sum(axis=1, keepdims=True)
+            + 0.1 * rng.normal(size=(S * B, 1))).astype(np.float32)
+    x, y = jnp.asarray(xall), jnp.asarray(yall)
+
+    # lr=1e-2: decisive convergence for both paths (at 1e-3 the XLA dropout
+    # path itself only reaches ~0.69 head→tail in 60 steps)
+    _, _, _, losses_ref = _reference_run(model, x, y, S, B, 1e-2, 5.0, 0.0)
+    _, _, _, _, losses = _fused_run(model, plan, x, y, S, B, 1e-2)
+    losses = np.asarray(losses)
+    assert losses[-5:].mean() < 0.6 * losses[:5].mean()
+    # tail means agree within dropout-noise tolerance
+    ref_tail = losses_ref[-10:].mean()
+    assert abs(losses[-10:].mean() - ref_tail) < 0.35 * ref_tail
+
+
+def test_trainer_fuses_mcdropout(tmp_path):
+    """Trainer engages the kernel for MCDropoutModel and the result is a
+    usable model (val_loss tracks the scan path loosely)."""
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+
+    def fit(fused):
+        model = _build_mc(0.1)
+        dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                        drop_last=True)
+        tr = Trainer('t/fmc', {'accelerator': 'cpu', 'max_epochs': 3,
+                               'gradient_clip_val': 5.0, 'seed': 7,
+                               'fused_epochs': 'force' if fused else False},
+                     callbacks=[EarlyStopping(patience=100)],
+                     log_dir=str(tmp_path), version=f'mc{int(fused)}')
+        tr.fit(model, dl, DataLoader(ArrayDataset(x, y), batch_size=16))
+        return model, tr
+
+    m_fused, tr_fused = fit(True)
+    m_scan, tr_scan = fit(False)
+    assert tr_fused.fused_epochs_used == 3
+    assert tr_scan.fused_epochs_used == 0
+    vf = tr_fused.callback_metrics['val_loss']
+    vs = tr_scan.callback_metrics['val_loss']
+    assert np.isfinite(vf)
+    assert abs(vf - vs) < 0.5 * max(vs, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# Δ-UQ / PAGER: doubled stochastic-centering batches through the kernel
+# ---------------------------------------------------------------------------
+def _build_duq(d=5, pager=False):
+    from nnueehcs_tpu.model_builder import (DeltaUQMLPModelBuilder,
+                                            PAGERModelBuilder)
+    cls = PAGERModelBuilder if pager else DeltaUQMLPModelBuilder
+    return cls(_arch(d=d), {'estimator': 'std'},
+               train_config={'loss': 'l1_loss'}).build()
+
+
+def test_delta_uq_fused_matches_scan_exactly():
+    """The anchored gather replicates the scan path's per-step key
+    derivation, so Δ-UQ is *bit-identically* stochastic on both paths —
+    per-step losses must match to f32 tolerance."""
+    B, S, d = 8, 6, 5
+    model = _build_duq(d=d)
+    plan = ft.plan_fused_train(model.net, 1, 2 * B, loss='l1_loss',
+                               clip=5.0, member_stacked=False)
+    assert plan is not None and plan.batch == 2 * B
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S * B, d)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(S * B, 1)), jnp.float32)
+    epoch_rng = jax.random.PRNGKey(42)
+
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.scale_by_adam())
+    opt = tx.init(model.params)
+    params, state = model.params, model.state
+    losses_ref = []
+    for s in range(S):
+        xb, yb = x[s * B:(s + 1) * B], y[s * B:(s + 1) * B]
+        rng_s = jax.random.fold_in(epoch_rng, s)
+        (loss, state), grads = jax.value_and_grad(
+            model.training_loss, has_aux=True)(params, state, (xb, yb),
+                                               rng_s)
+        updates, opt = tx.update(grads, opt, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - 1e-3 * u,
+                                        params, updates)
+        losses_ref.append(float(loss))
+
+    theta = ft.pack_tree(plan, model.params)
+    sigma = ft.pack_state(plan, model.state)
+    xs, ys = ft.gather_anchored_epoch_batches(plan, x, y,
+                                              jnp.arange(S * B), epoch_rng)
+    assert xs.shape[:2] == (S, 2 * B)
+    th2, _, _, sg2, losses = ft.fused_epoch(
+        plan, theta, jnp.zeros_like(theta), jnp.zeros_like(theta), sigma,
+        xs, ys, 1e-3, 0, interpret=True)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref),
+                               atol=5e-6)
+    p2 = ft.unpack_tree(plan, th2, model.params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+@pytest.mark.parametrize('pager', [False, True])
+def test_trainer_fuses_delta_uq(tmp_path, pager):
+    """Epoch 0 runs the scan path (the anchor hook observes batches);
+    epochs 1+ run the kernel.  Anchor draws are identical on both paths,
+    so the two trainers land on (near-)identical val losses."""
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+
+    def fit(fused):
+        model = _build_duq(pager=pager)
+        dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                        drop_last=True)
+        tr = Trainer('t/fduq', {'accelerator': 'cpu', 'max_epochs': 3,
+                                'gradient_clip_val': 5.0, 'seed': 7,
+                                'fused_epochs': 'force' if fused else False},
+                     callbacks=([EarlyStopping(patience=100)]
+                                + model.get_callbacks()),
+                     log_dir=str(tmp_path), version=f'duq{int(fused)}')
+        tr.fit(model, dl, DataLoader(ArrayDataset(x, y), batch_size=16))
+        return model, tr
+
+    m_fused, tr_fused = fit(True)
+    m_scan, tr_scan = fit(False)
+    assert tr_fused.fused_epochs_used == 2       # epoch 0 = anchor epoch
+    assert tr_scan.fused_epochs_used == 0
+    assert m_fused.anchors is not None and m_scan.anchors is not None
+    vf = tr_fused.callback_metrics['val_loss']
+    vs = tr_scan.callback_metrics['val_loss']
+    assert abs(vf - vs) < 1e-3
 
 
 def test_bf16_mixed_tracks_f32_loosely():

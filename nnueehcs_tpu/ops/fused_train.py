@@ -384,9 +384,13 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
         bc = jax.lax.bitcast_convert_type
         r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        x = bc(salt, jnp.uint32) * jnp.uint32(0x9E3779B9)
-        x = x + bc(r, jnp.uint32) * jnp.uint32(0x85EBCA6B)
-        x = x + bc(c, jnp.uint32) * jnp.uint32(0xC2B2AE35)
+        # mix in int32 with two's-complement wraparound (bit-identical to
+        # the uint32 sum mod 2^32); Mosaic's tpu.bitcast is vector-only,
+        # so the scalar salt must never be bitcast — only the mixed vector
+        mix = (salt * jnp.int32(-1640531527)        # 0x9E3779B9
+               + r * jnp.int32(-2048144789)          # 0x85EBCA6B
+               + c * jnp.int32(-1028477387))         # 0xC2B2AE35
+        x = bc(mix, jnp.uint32)
         x = x ^ (x >> jnp.uint32(16))
         x = x * jnp.uint32(0x7FEB352D)
         x = x ^ (x >> jnp.uint32(15))

@@ -256,9 +256,13 @@ class Trainer:
         fused_cfg = self.trainer_config.get('fused_epochs', True)
         fused_plan = None
         # single-net families run the kernel unstacked; Δ-UQ/PAGER train on
-        # the doubled stochastic-centering batch (anchored gather below)
+        # the doubled stochastic-centering batch (anchored gather below);
+        # KDE/kNN-KDE train as plain MLPs (the density fit rides the
+        # epoch-0 hook on the scan path, like Δ-UQ's anchors)
         _single_net = type(model).__name__ in ('MCDropoutModel',
-                                               'DeltaUQMLP', 'PAGERMLP')
+                                               'DeltaUQMLP', 'PAGERMLP',
+                                               'MLPModel', 'KDEMLPModel',
+                                               'KNNKDEMLPModel')
         _anchored = type(model).__name__ in ('DeltaUQMLP', 'PAGERMLP')
         _fusable = _single_net or type(model).__name__ == 'EnsembleModel'
         if (fused_cfg and self.mesh_config is None

@@ -528,6 +528,31 @@ def test_trainer_fuses_delta_uq(tmp_path, pager):
     assert abs(vf - vs) < 1e-3
 
 
+def test_trainer_fuses_kde(tmp_path):
+    """KDE models train as plain single-net MLPs through the kernel; the
+    density fit rides the epoch-0 hook on the scan path."""
+    from nnueehcs_tpu.model_builder import KDEModelBuilder
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+    model = KDEModelBuilder(_arch(), {'rtol': 1000},
+                            train_config={'loss': 'l1_loss'}).build()
+    dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                    drop_last=True)
+    tr = Trainer('t/fkde', {'accelerator': 'cpu', 'max_epochs': 3,
+                            'gradient_clip_val': 5.0, 'seed': 7,
+                            'fused_epochs': 'force'},
+                 callbacks=([EarlyStopping(patience=100)]
+                            + model.get_callbacks()),
+                 log_dir=str(tmp_path), version='kde')
+    tr.fit(model, dl, DataLoader(ArrayDataset(x, y), batch_size=16))
+    assert tr.fused_epochs_used == 2          # epoch 0 = KDE-fit epoch
+    _, ue = model(x[:8], return_ue=True)      # density fitted and scoring
+    assert np.asarray(ue).shape == (8,)
+
+
 def test_bf16_mixed_tracks_f32_loosely():
     """bf16 GEMM operands (f32 accumulation/master weights): the loss curve
     must track the f32 path within mixed-precision tolerance."""

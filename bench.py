@@ -144,12 +144,14 @@ def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
         xs, ys = jax.jit(functools.partial(ft.gather_epoch_batches, plan))(
             x, y, jnp.arange(steps * batch))
 
+        drops = ft.drop_rates(model.net)
+
         def run_epoch():
             (state['theta'], state['m'], state['v'], state['sigma'],
              losses) = ft.fused_epoch(plan, state['theta'], state['m'],
                                       state['v'], state['sigma'], xs, ys,
                                       lr, state['step0'],
-                                      seed=state['step0'] + 1)
+                                      seed=state['step0'] + 1, drops=drops)
             state['step0'] += steps
             return losses
     else:

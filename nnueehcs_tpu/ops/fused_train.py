@@ -79,7 +79,7 @@ class _Lin:
     var_off: int          # BN running-var row, or -1
     zh_idx: int           # index into the zhat scratch, or -1
     relu: bool
-    drop: float = 0.0     # dropout probability applied to this block's input
+    drop: float = 0.0     # unused (rates are runtime inputs — drop_rates())
     mask_idx: int = -1    # index into the dropout-mask scratch, or -1
 
 
@@ -154,9 +154,9 @@ def plan_fused_train(net, num_members: int, batch: int, *,
     n_drop = 0
     i = 0
     while i < len(layers):
-        p_drop = 0.0
+        has_drop = False
         if isinstance(layers[i], _Dropout):
-            p_drop = float(layers[i].p)
+            has_drop = True
             i += 1
             if i >= len(layers):
                 return None
@@ -202,13 +202,16 @@ def plan_fused_train(net, num_members: int, batch: int, *,
             sig_row += 2
             zh_idx = zh
             zh += 1
+        # a mask slot per Dropout *layer* (not per nonzero rate): the rate
+        # itself is a RUNTIME kernel input, so every dropout_percent in a
+        # BO sweep shares ONE compiled program
         mask_idx = -1
-        if p_drop > 0.0:
+        if has_drop:
             mask_idx = n_drop
             n_drop += 1
         lins.append(_Lin(i, bn_layer, w_off, in_rows, in_w, out_w, b_off,
                          g_off, be_off, mean_off, var_off, zh_idx, relu,
-                         drop=p_drop, mask_idx=mask_idx))
+                         drop=0.0, mask_idx=mask_idx))
         i = j
     if not lins or lins[-1].bn_layer >= 0 or lins[-1].relu:
         return None
@@ -337,7 +340,7 @@ def _loss_and_grad(plan, diff):
 
 
 def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
-                  x_ref, y_ref,
+                  drops_ref, x_ref, y_ref,
                   th_in, m_in, v_in, sg_in,
                   th_out, m_out, v_out, sg_out, loss_ref,
                   th_s, m_s, v_s, g_s, sg_s, zh_s, inv_s, mk_s, sem):
@@ -409,10 +412,11 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
         sbase = m * plan.sig_rows
         h = x.astype(jnp.float32)
         for L in lins:
-            if L.drop > 0.0:
+            if L.mask_idx >= 0:
                 salt = (seed_ref[0, 0] + i * 7919 + m * 131071
                         + L.mask_idx * 524287)
-                mask = _gen_mask(1.0 - L.drop, h.shape, salt)
+                mask = _gen_mask(1.0 - drops_ref[L.mask_idx, 0], h.shape,
+                                 salt)
                 if save_masks:
                     mk_s[L.mask_idx, :, :h.shape[1]] = mask
                 h = h * mask
@@ -491,7 +495,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
                                           - zh * s2[None, :])
             if li == 0:
                 a = x.astype(jnp.float32)
-                if L.drop > 0.0:
+                if L.mask_idx >= 0:
                     a = a * mk_s[L.mask_idx, :, :a.shape[1]]
             else:
                 P = lins[li - 1]
@@ -500,7 +504,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
                     + th_s[base + P.be_off, :][None, :]
                 if P.relu:
                     a = jnp.maximum(a, 0.0)
-                if L.drop > 0.0:
+                if L.mask_idx >= 0:
                     a = a * mk_s[L.mask_idx, :, :]
             dW = mm(a, d, (((0,), (0,)), ((), ())))
             g_s[base + L.w_off:base + L.w_off + L.in_rows, :] = dW
@@ -508,7 +512,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
             if li > 0:
                 W = th_s[base + L.w_off:base + L.w_off + L.in_rows, :]
                 d = mm(d, W, (((1,), (1,)), ((), ())))
-                if L.drop > 0.0:
+                if L.mask_idx >= 0:
                     d = d * mk_s[L.mask_idx, :, :]
 
     if single_sweep:
@@ -561,25 +565,43 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
             dma.wait()
 
 
+def drop_rates(net) -> jnp.ndarray:
+    """Per-mask-slot dropout probabilities in block order — the RUNTIME
+    companion to a plan's ``n_drop`` slots.  Rates are a kernel input, not
+    a compile-time constant, so a BO sweep over ``dropout_percent`` shares
+    one compiled program."""
+    rates = [float(l.p) for l in net.layers if isinstance(l, _Dropout)]
+    if not rates:
+        return jnp.zeros((1, 1), jnp.float32)
+    return jnp.asarray(rates, jnp.float32).reshape(-1, 1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('plan', 'interpret'),
                    donate_argnums=(1, 2, 3, 4))
 def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
-                step0, seed=0, interpret: bool = False):
+                step0, seed=0, drops=None, interpret: bool = False):
     """Run one training epoch (xs: (S, B, in_pad), ys: (S, B, out_pad)) as
     a single Pallas program.  ``seed`` drives the in-kernel dropout PRNG
-    (ignored for dropout-free chains).  Returns (theta, m, v, sigma,
-    losses[S])."""
+    and ``drops`` carries the per-slot dropout probabilities
+    (``drop_rates(net)``); both are ignored for dropout-free chains.
+    Returns (theta, m, v, sigma, losses[S])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     S = xs.shape[0]
     R, G = plan.total_rows, plan.total_sig_rows
+    if drops is None:
+        drops = jnp.zeros((max(plan.n_drop, 1), 1), jnp.float32)
+    else:
+        drops = jnp.asarray(drops, jnp.float32).reshape(-1, 1)
 
     kernel = functools.partial(_epoch_kernel, plan)
     flat = pl.BlockSpec(memory_space=pl.ANY)
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)
+    smem_drops = pl.BlockSpec((max(plan.n_drop, 1), 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
 
     theta, m, v, sigma, losses = pl.pallas_call(
         kernel,
@@ -588,6 +610,7 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
             smem_scalar,                                     # lr
             smem_scalar,                                     # step0
             smem_scalar,                                     # dropout seed
+            smem_drops,                                      # dropout rates
             pl.BlockSpec((1, plan.batch, plan.in_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),           # xs
             pl.BlockSpec((1, plan.batch, plan.out_pad), lambda i: (i, 0, 0),
@@ -620,7 +643,7 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
                        jnp.float32),                         # dropout masks
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024,
@@ -629,6 +652,7 @@ def fused_epoch(plan: FusedTrainPlan, theta, m, v, sigma, xs, ys, lr,
     )(jnp.asarray(lr, jnp.float32).reshape(1, 1),
       jnp.asarray(step0, jnp.int32).reshape(1, 1),
       jnp.asarray(seed, jnp.int32).reshape(1, 1),
+      drops,
       xs, ys, theta, m, v, sigma)
     return theta, m, v, sigma, losses[:, 0]
 

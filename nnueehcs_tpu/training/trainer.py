@@ -170,9 +170,10 @@ class Trainer:
             self.callback_metrics['train_loss'] = float(losses_np[-1])
 
     def fit(self, model, train_dataloaders, val_dataloaders=None):
-        # epochs that ran through the fused whole-epoch kernel (observable
-        # for tests/benchmarks)
+        # epochs that ran through the fused whole-epoch kernel and
+        # whole-fit dispatches (observable for tests/benchmarks)
         self.fused_epochs_used = 0
+        self.whole_fit_dispatches = 0
         device = self._device()
         with jax.default_device(device):
             return self._fit(model, train_dataloaders, val_dataloaders, device)
@@ -386,7 +387,9 @@ class Trainer:
             from ..ops.fused_train import (fused_epoch, gather_epoch_batches,
                                            gather_anchored_epoch_batches,
                                            pack_tree, pack_state,
-                                           unpack_tree, unpack_state)
+                                           unpack_tree, unpack_state,
+                                           drop_rates)
+            _drops = drop_rates(model.net)
 
             def kernel_epoch_with_val(theta, mbuf, vbuf, sigma, xt, yt,
                                       perm, offset, lr, step0, ep_seed,
@@ -404,7 +407,7 @@ class Trainer:
                                                   idx_flat)
                 theta, mbuf, vbuf, sigma, losses = fused_epoch(
                     fused_plan, theta, mbuf, vbuf, sigma, xs, ys, lr, step0,
-                    seed=ep_seed, interpret=_fused_interp)
+                    seed=ep_seed, drops=_drops, interpret=_fused_interp)
                 params = unpack_tree(fused_plan, theta, model.params)
                 state = unpack_state(fused_plan, sigma, model.state)
 
@@ -445,6 +448,160 @@ class Trainer:
                 opt_ = opt_[:idx] + (adam,) + opt_[idx + 1:]
                 return params_, state_, opt_
 
+            # ---- whole-fit path: EVERY remaining epoch as ONE device
+            # program.  lax.while_loop over epochs with the fused Pallas
+            # epoch inside; validation, ReduceLROnPlateau, EarlyStopping
+            # and best-checkpoint (ModelSavingCallback) tracking all run
+            # on device — one dispatch and one host sync for the entire
+            # fit instead of one per epoch.  Host-side logs/hook calls are
+            # replayed afterwards from the returned per-epoch buffers with
+            # bit-identical decisions (the device replicates the host
+            # state machines exactly).
+            L_max = self.max_epochs
+            # _es_hook/_es_min_delta/_es_patience are assigned after the
+            # hooks list is built below; the kernel closure resolves them
+            # at trace time (first dispatch), well after that
+
+            def whole_fit_kernel(theta, mbuf, vbuf, sigma, xt, yt, perm0,
+                                 base_lr_, step00, start_ep, ep_seeds_,
+                                 shuffle_key_, train_key_, val_key_,
+                                 val_xs_, val_ys_, vt_x_, vt_y_,
+                                 pl_state0, es_state0, nb_val_):
+                n_rows = xt.shape[0]
+                S = full_batches
+
+                def cond(c):
+                    return jnp.logical_and(c['epoch'] < L_max,
+                                           jnp.logical_not(c['stop']))
+
+                def body(c):
+                    e = c['epoch']
+                    perm_ = c['perm']
+                    if shuffle:
+                        perm_ = jax.lax.cond(
+                            e % windows == 0,
+                            lambda p: jax.random.permutation(
+                                jax.random.fold_in(shuffle_key_, e),
+                                n_rows),
+                            lambda p: p, perm_)
+                    off = (e % windows) * sample_n
+                    idx_flat = jax.lax.dynamic_slice(perm_, (off,),
+                                                     (sample_n,))
+                    if _anchored:
+                        xs, ys = gather_anchored_epoch_batches(
+                            fused_plan, xt, yt, idx_flat,
+                            jax.random.fold_in(train_key_, e))
+                    else:
+                        xs, ys = gather_epoch_batches(fused_plan, xt, yt,
+                                                      idx_flat)
+                    th, mb, vb, sg, losses = fused_epoch(
+                        fused_plan, c['theta'], c['m'], c['v'], c['sigma'],
+                        xs, ys, base_lr_ * c['pl'][3], c['step0'],
+                        seed=ep_seeds_[e], drops=_drops,
+                        interpret=_fused_interp)
+                    params_e = unpack_tree(fused_plan, th, model.params)
+                    state_e = unpack_state(fused_plan, sg, model.state)
+                    vl = _weighted_val(params_e, state_e, val_xs_, val_ys_,
+                                       vt_x_, vt_y_, e, nb_val_, val_key_)
+
+                    # ReduceLROnPlateau('min'): scale applies NEXT epoch
+                    pb, pbad, pcool, pscale = c['pl']
+                    imp = vl < pb * (1.0 - plateau.threshold)
+                    in_cool = pcool > 0
+                    bad_new = pbad + 1
+                    trig = jnp.logical_and(
+                        jnp.logical_and(~imp, ~in_cool),
+                        bad_new > plateau.patience)
+                    pl_new = (
+                        jnp.where(imp, vl, pb),
+                        jnp.where(imp | in_cool | trig, 0, bad_new),
+                        jnp.where(imp, pcool,
+                                  jnp.where(in_cool, pcool - 1,
+                                            jnp.where(trig,
+                                                      plateau.cooldown,
+                                                      pcool))),
+                        jnp.where(trig,
+                                  jnp.maximum(pscale * plateau.factor,
+                                              plateau.min_scale), pscale),
+                    )
+
+                    # EarlyStopping('val_loss', min): stop BEFORE the next
+                    # epoch once patience is exhausted
+                    eb, ew = c['es']
+                    eimp = vl < eb - _es_min_delta
+                    ew_new = jnp.where(eimp, 0, ew + 1)
+                    stop = jnp.logical_and(~eimp, ew_new >= _es_patience)
+
+                    # best-checkpoint pin (ModelSavingCallback semantics)
+                    bimp = vl < c['best_vl']
+                    lbuf = jax.lax.dynamic_update_slice(
+                        c['lbuf'], losses[None, :].astype(jnp.float32),
+                        (e, 0))
+                    return dict(
+                        epoch=e + 1, theta=th, m=mb, v=vb, sigma=sg,
+                        step0=c['step0'] + S, perm=perm_,
+                        pl=pl_new, es=(jnp.where(eimp, vl, eb), ew_new),
+                        stop=stop,
+                        best_vl=jnp.where(bimp, vl, c['best_vl']),
+                        best_th=jnp.where(bimp, th, c['best_th']),
+                        best_sg=jnp.where(bimp, sg, c['best_sg']),
+                        lbuf=lbuf,
+                        vlbuf=c['vlbuf'].at[e].set(vl.astype(jnp.float32)),
+                    )
+
+                carry = dict(
+                    epoch=start_ep, theta=theta, m=mbuf, v=vbuf,
+                    sigma=sigma, step0=step00, perm=perm0,
+                    pl=pl_state0, es=es_state0,
+                    stop=jnp.asarray(False),
+                    best_vl=jnp.asarray(np.inf, jnp.float32),
+                    best_th=theta, best_sg=sigma,
+                    lbuf=jnp.zeros((L_max, S), jnp.float32),
+                    vlbuf=jnp.full((L_max,), np.nan, jnp.float32),
+                )
+                out = jax.lax.while_loop(cond, body, carry)
+                return (out['theta'], out['m'], out['v'], out['sigma'],
+                        out['best_th'], out['best_sg'], out['epoch'],
+                        out['step0'], out['lbuf'], out['vlbuf'])
+
+            whole_fit_jit = jax.jit(whole_fit_kernel,
+                                    donate_argnums=(0, 1, 2, 3),
+                                    static_argnums=(20,))
+
+            def _whole_fit_ok(e0):
+                """All remaining epochs eligible for the one-dispatch fit:
+                no batch hooks, fused validation quiescent, and every
+                callback's validation behaviour replayable post-hoc."""
+                if os.environ.get('NNUEEHCS_TPU_NO_WHOLE_FIT'):
+                    return False
+                # opt-in: the one-dispatch fit wins for long fixed-shape
+                # fits (>~120 epochs) but its one-off XLA compile is much
+                # larger than the per-epoch program's — measured on-chip:
+                # ~40 s/fit warm-cache vs ~16 s for the per-epoch kernel
+                # path at 30 epochs, ~50 ms/epoch steady-state vs ~300 ms
+                if not self.trainer_config.get('whole_fit', False):
+                    return False
+                n_es = 0
+                for h in hooks:
+                    if isinstance(h, EarlyStopping):
+                        n_es += 1
+                        if h.mode != 'min' or h.monitor != 'val_loss':
+                            return False
+                    elif isinstance(h, ModelSavingCallback):
+                        if h.monitor != 'val_loss':
+                            return False
+                    elif (type(h).on_validation_end
+                          is not TrainerHook.on_validation_end):
+                        return False
+                if n_es > 1:
+                    return False
+                for e in range(e0, self.max_epochs):
+                    if any(_wants_batches(h, e) for h in hooks):
+                        return False
+                    if not val_fusion_ok(e):
+                        return False
+                return True
+
         val_cache = {}
 
         def get_val_step(batch_len):
@@ -476,6 +633,10 @@ class Trainer:
 
         # ----- hooks
         hooks: List[TrainerHook] = list(self.callbacks)
+        _es_hook = next((h for h in hooks
+                         if isinstance(h, EarlyStopping)), None)
+        _es_min_delta = _es_hook.min_delta if _es_hook else 0.0
+        _es_patience = _es_hook.patience if _es_hook else (1 << 30)
         for h in hooks:
             h.on_fit_start(self, model)
         # model hyperparams, as WrappedModelBase.on_train_start did
@@ -542,6 +703,84 @@ class Trainer:
             batch_hooks = [h for h in hooks
                            if _wants_batches(h, epoch)] if hooks else []
 
+            # ---- whole-fit path: every remaining epoch in ONE dispatch
+            # (fused Pallas epochs + validation + plateau-LR + early-stop
+            # + best-checkpoint tracking on device), then replay the host
+            # bookkeeping from the returned buffers
+            whole_ok = (fused_plan is not None and val_xs is not None
+                        and not batch_hooks and not has_tail
+                        and full_batches > 0 and _whole_fit_ok(epoch))
+            if whole_ok:
+                self.whole_fit_dispatches += 1
+                if fused_buffers is None:
+                    fused_buffers, fused_step0 = _pack_fused(params, state,
+                                                             opt)
+                th, mb, vb, sg = fused_buffers
+                ep_seeds = jnp.asarray(
+                    [(self.seed * 1000003 + e * 7919) & 0x7fffffff
+                     for e in range(self.max_epochs)], jnp.int32)
+                pl0 = (jnp.asarray(plateau.best, jnp.float32),
+                       jnp.asarray(plateau.num_bad, jnp.int32),
+                       jnp.asarray(plateau.cooldown_counter, jnp.int32),
+                       jnp.asarray(plateau.scale, jnp.float32))
+                es0 = (jnp.asarray(_es_hook.best_score if _es_hook
+                                   else np.inf, jnp.float32),
+                       jnp.asarray(_es_hook.wait_count if _es_hook else 0,
+                                   jnp.int32))
+                if perm is None:
+                    perm = jnp.arange(n)
+                (th, mb, vb, sg, bth, bsg, ep_done_d, step0_d, lbuf,
+                 vlbuf) = whole_fit_jit(
+                    th, mb, vb, sg, x_train, y_train, perm,
+                    jnp.asarray(base_lr, jnp.float32),
+                    jnp.asarray(fused_step0, jnp.int32),
+                    jnp.asarray(epoch, jnp.int32), ep_seeds,
+                    shuffle_key, train_key, val_key,
+                    val_xs, val_ys, vt_x, vt_y, pl0, es0, nb_val_full)
+                ep_done = int(ep_done_d)             # the one host sync
+                fused_step0 = int(step0_d)
+                lbuf = np.asarray(lbuf)
+                vlbuf = np.asarray(vlbuf)
+                fused_buffers = [th, mb, vb, sg]
+                params = unpack_tree(fused_plan, th, model.params)
+                state = unpack_state(fused_plan, sg, model.state)
+                model.params, model.state = params, state
+                best_params = unpack_tree(fused_plan, bth, model.params)
+                best_state = unpack_state(fused_plan, bsg, model.state)
+
+                argmin_e = (int(np.nanargmin(vlbuf[epoch:ep_done])) + epoch
+                            if ep_done > epoch else epoch)
+                for e in range(epoch, ep_done):
+                    self.current_epoch = e
+                    self.fused_epochs_used += 1
+                    vl = float(vlbuf[e])
+                    self._log_epoch(lbuf[e], e)
+                    for h in hooks:
+                        h.on_train_epoch_end(self, model)
+                    for h in hooks:
+                        h.on_validation_epoch_start(self, model)
+                    self.callback_metrics['val_loss'] = vl
+                    self.logger.log_metrics({'val_loss': vl, 'epoch': e},
+                                            step=self.global_step - 1)
+                    if e == argmin_e:
+                        # hooks that pin/save the best model must see the
+                        # device-tracked best params at the winning epoch
+                        live = (model.params, model.state)
+                        model.params, model.state = best_params, best_state
+                        for h in hooks:
+                            h.on_validation_end(self, model,
+                                                self.callback_metrics)
+                        model.params, model.state = live
+                    else:
+                        for h in hooks:
+                            h.on_validation_end(self, model,
+                                                self.callback_metrics)
+                    lr_scale = plateau.step(vl)
+                    self.logger.save()
+                    if self.should_stop:
+                        break
+                break
+
             # ---- fused-kernel path: the whole train epoch as ONE Pallas
             # program (params/Adam/BN-stats VMEM-resident) + validation,
             # still a single host sync per epoch
@@ -549,11 +788,6 @@ class Trainer:
                          and val_fusion_ok(epoch)
                          and not batch_hooks and not has_tail
                          and full_batches > 0)
-            if os.environ.get('NNUEEHCS_DEBUG_GATE'):
-                print('EPOCH', epoch, 'ok', kernel_ok, 'plan',
-                      fused_plan is not None, 'val', val_xs is not None,
-                      'vfo', val_fusion_ok(epoch), 'bh', batch_hooks,
-                      'tail', has_tail, 'fb', full_batches, flush=True)
             if kernel_ok:
                 self.fused_epochs_used += 1
                 if fused_buffers is None:

@@ -67,7 +67,7 @@ def _fused_run(model, plan, x, y, S, B, lr, step0=0):
     xs, ys = ft.gather_epoch_batches(plan, x, y, jnp.arange(S * B))
     return ft.fused_epoch(plan, theta, jnp.zeros_like(theta),
                           jnp.zeros_like(theta), sigma, xs, ys, lr, step0,
-                          interpret=True)
+                          drops=ft.drop_rates(model.net), interpret=True)
 
 
 @pytest.mark.parametrize('loss,per_member,wd', [
@@ -342,7 +342,10 @@ def test_mcdropout_p0_matches_xla_exactly():
     and single-sweep loss/grad path end-to-end)."""
     B, S, d = 16, 8, 5
     model = _build_mc(0.0)
-    plan = _mc_plan(model, B, p0_expected=0)
+    # the Dropout layer still gets a mask slot (slots are structural so a
+    # dropout_percent sweep shares one compiled program); rate 0 at
+    # runtime makes the mask exactly identity
+    plan = _mc_plan(model, B, p0_expected=1)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(S * B, d)), jnp.float32)
@@ -370,7 +373,8 @@ def test_mcdropout_seed_semantics():
         sigma = ft.pack_state(plan, model.state)
         out = ft.fused_epoch(plan, theta, jnp.zeros_like(theta),
                              jnp.zeros_like(theta), sigma, xs, ys, 1e-3, 0,
-                             seed=seed, interpret=True)
+                             seed=seed, drops=ft.drop_rates(model.net),
+                             interpret=True)
         return np.asarray(out[4]), np.asarray(out[0])
 
     l_a, th_a = run(123)
@@ -551,6 +555,81 @@ def test_trainer_fuses_kde(tmp_path):
     assert tr.fused_epochs_used == 2          # epoch 0 = KDE-fit epoch
     _, ue = model(x[:8], return_ue=True)      # density fitted and scoring
     assert np.asarray(ue).shape == (8,)
+
+
+# ---------------------------------------------------------------------------
+# Whole-fit: every epoch in ONE device dispatch (while_loop over fused
+# epochs + on-device plateau-LR / early-stop / best-checkpoint)
+# ---------------------------------------------------------------------------
+def _fit_traj(tmp_path, whole, version, epochs=4, es_patience=100,
+              es_min_delta=0.0, model_fn=None, seed=7):
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping, ModelSavingCallback)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(axis=1, keepdims=True).astype(np.float32)
+    model = (model_fn or (lambda: _build(M=2, d=5)))()
+    dl = DataLoader(ArrayDataset(x, y), batch_size=16, shuffle=True,
+                    drop_last=True)
+    tr = Trainer('t/wf', {'accelerator': 'cpu', 'max_epochs': epochs,
+                          'gradient_clip_val': 5.0, 'seed': seed,
+                          'fused_epochs': 'force', 'whole_fit': whole},
+                 callbacks=[EarlyStopping(patience=es_patience,
+                                          min_delta=es_min_delta),
+                            ModelSavingCallback(defer_serialization=True)],
+                 log_dir=str(tmp_path), version=version)
+    tr.fit(model, dl, DataLoader(ArrayDataset(x, y), batch_size=16))
+    import csv
+    vls = []
+    with open(f'{tr.logger.log_dir}/metrics.csv') as f:
+        for row in csv.DictReader(f):
+            if row.get('val_loss'):
+                vls.append(float(row['val_loss']))
+    return model, tr, vls
+
+
+def test_whole_fit_matches_per_epoch_kernel(tmp_path):
+    m_w, tr_w, vls_w = _fit_traj(tmp_path, True, 'w')
+    m_e, tr_e, vls_e = _fit_traj(tmp_path, False, 'e')
+    assert tr_w.whole_fit_dispatches == 1
+    assert tr_e.whole_fit_dispatches == 0
+    assert tr_w.fused_epochs_used == tr_e.fused_epochs_used == 4
+    # identical val trajectory (same kernels, same RNG streams, same math)
+    np.testing.assert_allclose(vls_w, vls_e, rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m_w.params),
+                    jax.tree_util.tree_leaves(m_e.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # best-checkpoint pin exists and reloads (deferred ModelSavingCallback)
+    from nnueehcs_tpu.training import load_model
+    m2 = load_model(f'{tr_w.logger.log_dir}/model.pth')
+    x = np.random.default_rng(1).normal(size=(8, 5)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(m2(x)),
+                               np.asarray(load_model(
+                                   f'{tr_e.logger.log_dir}/model.pth')(x)),
+                               atol=1e-6)
+
+
+def test_whole_fit_early_stop_matches(tmp_path):
+    """A huge min_delta makes every epoch a non-improvement, so patience=1
+    must stop after epoch 1 on the device exactly as on the host path."""
+    m_w, tr_w, vls_w = _fit_traj(tmp_path, True, 'ws', epochs=12,
+                                 es_patience=1, es_min_delta=1e6)
+    m_e, tr_e, vls_e = _fit_traj(tmp_path, False, 'es', epochs=12,
+                                 es_patience=1, es_min_delta=1e6)
+    assert len(vls_w) == len(vls_e) == 2       # stop after epoch 1
+    np.testing.assert_allclose(vls_w, vls_e, rtol=0, atol=1e-6)
+    assert tr_w.current_epoch == tr_e.current_epoch == 1
+
+
+def test_whole_fit_mcdropout(tmp_path):
+    """MC dropout through the whole-fit dispatch: same trajectory as the
+    per-epoch kernel path (the stateless mask stream is identical)."""
+    m_w, tr_w, vls_w = _fit_traj(tmp_path, True, 'wm',
+                                 model_fn=lambda: _build_mc(0.2))
+    m_e, tr_e, vls_e = _fit_traj(tmp_path, False, 'em',
+                                 model_fn=lambda: _build_mc(0.2))
+    assert tr_w.whole_fit_dispatches == 1
+    np.testing.assert_allclose(vls_w, vls_e, rtol=0, atol=1e-6)
 
 
 def test_bf16_mixed_tracks_f32_loosely():

@@ -141,7 +141,7 @@ def plan_fused_train(net, num_members: int, batch: int, *,
     ≤128, VMEM budget, supported loss).  Dropout masks come from the
     on-chip PRNG (a different — statistically equivalent — stream than the
     jax.random path, same trade the fused MC-dropout eval kernel makes)."""
-    if loss not in ('l1_loss', 'mse_loss'):
+    if loss not in ('l1_loss', 'mse_loss', 'gaussian_nll'):
         return None
     if batch < 2 or batch % 8 != 0:
         return None
@@ -215,6 +215,8 @@ def plan_fused_train(net, num_members: int, batch: int, *,
         i = j
     if not lins or lins[-1].bn_layer >= 0 or lins[-1].relu:
         return None
+    if loss == 'gaussian_nll' and lins[-1].out_w != 2:
+        return None          # MVE head is exactly (mu, raw variance)
 
     bn0 = next((layers[L.bn_layer] for L in lins if L.bn_layer >= 0), None)
     plan = FusedTrainPlan(
@@ -328,12 +330,49 @@ def unpack_state(plan: FusedTrainPlan, sigma, template) -> tuple:
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
-def _loss_and_grad(plan, diff):
-    """(Σ loss-term, d/dpred scaled by the mean divisor) for the padded
-    (B, 128) residual — padded lanes are exactly zero so the sums are over
-    true entries only."""
+def _loss_div(plan) -> float:
+    """Mean divisor: B·out_w for element-wise losses; B for the Gaussian
+    NLL (one likelihood term per row — models/mve.gaussian_nll averages
+    over the (B, 1) term matrix)."""
     B, ow = plan.batch, plan.lins[-1].out_w
-    denom = B * ow
+    return float(B) if plan.loss == 'gaussian_nll' else float(B * ow)
+
+
+def _loss_and_grad(plan, pred, ypad):
+    """(Σ loss-term, dL/dpred scaled by the mean divisor) for the padded
+    (B, 128) prediction — padded lanes of pred/ypad are exactly zero so
+    the sums run over true entries only."""
+    B, ow = plan.batch, plan.lins[-1].out_w
+    denom = _loss_div(plan)
+    if plan.loss == 'gaussian_nll':
+        # MVE head (models/mve.py:25-29): col0 = mu, col1 = raw variance,
+        # var = softplus(raw) + 1e-6.  Lane moves ride one-hot matmuls on
+        # the MXU; every intermediate is masked to lane 0.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        P10 = jnp.logical_and(rows == 1, cols == 0).astype(jnp.float32)
+        P01 = jnp.logical_and(rows == 0, cols == 1).astype(jnp.float32)
+
+        def lane_mm(a, P):
+            return jax.lax.dot_general(
+                a, P, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        colm = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+        e0 = (colm == 0).astype(jnp.float32)
+        mu0 = pred * e0
+        y0 = ypad * e0
+        raw0 = lane_mm(pred, P10)                 # raw variance in lane 0
+        var0 = jax.nn.softplus(raw0) + 1e-6
+        inv0 = 1.0 / var0
+        diff0 = mu0 - y0
+        sq0 = diff0 * diff0
+        terms = e0 * (0.5 * jnp.log(var0) + 0.5 * sq0 * inv0)
+        dmu0 = diff0 * inv0 / denom               # masked via diff0
+        draw0 = (0.5 * (inv0 - sq0 * inv0 * inv0)
+                 * jax.nn.sigmoid(raw0) * e0 / denom)
+        return jnp.sum(terms), dmu0 + lane_mm(draw0, P01)
+    diff = pred - ypad
     if plan.loss == 'l1_loss':
         return jnp.sum(jnp.abs(diff)), jnp.sign(diff) / denom
     return jnp.sum(diff * diff), 2.0 * diff / denom
@@ -460,8 +499,8 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
             h = forward(m, update_ema=True, save_zhat=False)
             predsum = h if predsum is None else predsum + h
         predm = predsum * (1.0 / M)
-        term, dpred_shared = _loss_and_grad(plan, predm - ypad)
-        loss_t = term / (B * ow)
+        term, dpred_shared = _loss_and_grad(plan, predm, ypad)
+        loss_t = term / _loss_div(plan)
         dpred_shared = dpred_shared * (1.0 / M)
 
     # ---- backward: recompute each member's forward (saving x̂/inv and any
@@ -471,7 +510,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
         h = forward(m, update_ema=single_sweep, save_zhat=True,
                     save_masks=plan.n_drop > 0)
         if single_sweep:
-            term, d = _loss_and_grad(plan, h - ypad)
+            term, d = _loss_and_grad(plan, h, ypad)
             loss_sum = loss_sum + term
             d = d * (1.0 / M)
         else:
@@ -516,7 +555,7 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
                     d = d * mk_s[L.mask_idx, :, :]
 
     if single_sweep:
-        loss_t = loss_sum / (B * ow * M)
+        loss_t = loss_sum / (_loss_div(plan) * M)
 
     # ---- optimizer: clip-by-global-norm → bias-corrected Adam → weight
     # decay → p -= lr*u  (mirrors the trainer's optax chain exactly).

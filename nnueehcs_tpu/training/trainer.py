@@ -263,8 +263,14 @@ class Trainer:
         _single_net = type(model).__name__ in ('MCDropoutModel',
                                                'DeltaUQMLP', 'PAGERMLP',
                                                'MLPModel', 'KDEMLPModel',
-                                               'KNNKDEMLPModel')
+                                               'KNNKDEMLPModel',
+                                               'MVEMLPModel')
         _anchored = type(model).__name__ in ('DeltaUQMLP', 'PAGERMLP')
+        # MVE trains on the Gaussian NLL regardless of the config's
+        # element-wise loss name (models/mve.py:39-42)
+        _loss_name = ('gaussian_nll'
+                      if type(model).__name__ == 'MVEMLPModel'
+                      else model.train_config.get('loss', 'l1_loss'))
         _fusable = _single_net or type(model).__name__ == 'EnsembleModel'
         if (fused_cfg and self.mesh_config is None
                 and self.precision in (None, '32-true', 'bf16-mixed')
@@ -276,7 +282,7 @@ class Trainer:
             fused_plan = _ft.plan_fused_train(
                 model.net, 1 if _single_net else model.num_models,
                 2 * bs if _anchored else bs,
-                loss=model.train_config.get('loss', 'l1_loss'),
+                loss=_loss_name,
                 per_member=not _single_net and model.train_config.get(
                     'ensemble_loss', 'joint_mean') == 'per_member',
                 clip=self.gradient_clip_val,

@@ -557,6 +557,16 @@ def test_trainer_fuses_kde(tmp_path):
     assert np.asarray(ue).shape == (8,)
 
 
+def test_dropout_sweep_shares_one_plan():
+    """Rates are runtime inputs: models differing only in dropout_percent
+    produce EQUAL plans, so a BO sweep hits one jit/XLA entry."""
+    p_a = _mc_plan(_build_mc(0.1), 16)
+    p_b = _mc_plan(_build_mc(0.3), 16)
+    assert p_a == p_b
+    np.testing.assert_allclose(
+        np.asarray(ft.drop_rates(_build_mc(0.3).net)), 0.3)
+
+
 # ---------------------------------------------------------------------------
 # MVE: Gaussian-NLL head (mu, raw variance) through the kernel
 # ---------------------------------------------------------------------------

@@ -85,21 +85,64 @@ class DeltaUQMLP(WrappedModelBase):
         return jnp.concatenate([y, y], axis=0)
 
     # ----------------------------------------------------------------- eval
+    # anchor-axis memory bound: the vmapped pass materialises
+    # (anchor_group × batch × width) activations; cap the product at ~1M
+    # rows (~0.5 GB of f32 at width 128) like MC dropout's sample groups.
+    # The reference never hits this because the external package loops
+    # anchors one at a time (at proportional wall-clock cost).
+    anchor_rows_budget = 1 << 20
+
     def _anchored_stats(self, params, state, x, anchors, n_anchors):
         """Mean/std over ``n_anchors`` anchored passes, vmapped over the
-        anchor axis (replaces the reference's python loop in the external
-        package)."""
-        def one_anchor(a):
-            inp = anchored_input(x, jnp.broadcast_to(a, x.shape))
-            y, _ = self.net.apply(params, state, inp, EVAL_MODE, rng=None)
-            return y
-        preds = jax.vmap(one_anchor)(anchors[:n_anchors])    # (k, B, out)
-        mean = preds.mean(0)
-        if self.estimator == 'var':
-            spread = jnp.var(preds, axis=0, ddof=1)
-        else:
-            spread = _std_unbiased(preds, axis=0)
-        return mean, spread
+        anchor axis in memory-bounded groups (replaces the reference's
+        python loop in the external package)."""
+        B = x.shape[0]
+
+        def group_preds(a_group):
+            def one_anchor(a):
+                inp = anchored_input(x, jnp.broadcast_to(a, x.shape))
+                y, _ = self.net.apply(params, state, inp, EVAL_MODE,
+                                      rng=None)
+                return y
+            return jax.vmap(one_anchor)(a_group)             # (g, B, out)
+
+        g = max(1, min(n_anchors, self.anchor_rows_budget // max(B, 1)))
+        if g >= n_anchors:
+            preds = group_preds(anchors[:n_anchors])
+            mean = preds.mean(0)
+            if self.estimator == 'var':
+                spread = jnp.var(preds, axis=0, ddof=1)
+            else:
+                spread = _std_unbiased(preds, axis=0)
+            return mean, spread
+
+        # grouped scan accumulating first/second moments (padded anchors
+        # are masked out of the sums)
+        n_groups = -(-n_anchors // g)
+        pad = n_groups * g - n_anchors
+        A = anchors[:n_anchors]
+        if pad:
+            A = jnp.concatenate(
+                [A, jnp.zeros((pad,) + A.shape[1:], A.dtype)], axis=0)
+        A = A.reshape(n_groups, g, *A.shape[1:])
+        w = (jnp.arange(n_groups * g) < n_anchors).astype(jnp.float32)
+        w = w.reshape(n_groups, g)
+
+        def body(carry, inp):
+            s, ss = carry
+            a_g, w_g = inp
+            p = group_preds(a_g).astype(jnp.float32)
+            p = p * w_g[:, None, None]
+            return (s + p.sum(0), ss + (p * p).sum(0)), None
+
+        out_dim = self.net.layers[-1].out_features
+        zero = jnp.zeros((B, out_dim), jnp.float32)
+        (s, ss), _ = jax.lax.scan(body, (zero, zero), (A, w))
+        n = jnp.float32(n_anchors)
+        mean = s / n
+        var = jnp.maximum(ss - n * mean * mean, 0.0) / (n - 1.0)
+        spread = var if self.estimator == 'var' else jnp.sqrt(var)
+        return mean.astype(x.dtype), spread.astype(x.dtype)
 
     def eval_buffers(self):
         # anchors ride the jit cache as program arguments (see base)

@@ -54,12 +54,30 @@ class PAGERMLP(DeltaUQMLP):
     # ------------------------------------------------------------------ eval
     def _prediction_matrix(self, params, state, x, anchors_X):
         """(B, A) matrix: anchor inputs predicted while anchored at each
-        test sample — one fully batched pass."""
+        test sample — batched passes with the sample axis chunked so the
+        (chunk × A × width) activations stay under the anchor-rows budget
+        (see DeltaUQMLP.anchor_rows_budget)."""
         def anchored_at_sample(s):
             inp = anchored_input(anchors_X, jnp.broadcast_to(s, anchors_X.shape))
             y, _ = self.net.apply(params, state, inp, EVAL_MODE, rng=None)
             return y                                   # (A, out)
-        p = jax.vmap(anchored_at_sample)(x)            # (B, A, out)
+
+        B, A = x.shape[0], anchors_X.shape[0]
+        g = max(1, min(B, self.anchor_rows_budget // max(A, 1)))
+        if g >= B:
+            p = jax.vmap(anchored_at_sample)(x)        # (B, A, out)
+            return p[..., 0] if p.ndim == 3 else p
+        n_groups = -(-B // g)
+        pad = n_groups * g - B
+        xp = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0) \
+            if pad else x
+
+        def body(_, xs):
+            return None, jax.vmap(anchored_at_sample)(xs)
+        _, p = jax.lax.scan(body, None,
+                            xp.reshape(n_groups, g, *x.shape[1:]))
+        p = p.reshape(n_groups * g, *p.shape[2:])[:B]
         return p[..., 0] if p.ndim == 3 else p
 
     def _conformal_scores(self, params, state, x, anchors_X, anchors_Y):

@@ -114,3 +114,57 @@ class TestVarEstimator:
         preds, ue = m(x, return_ue=True)
         assert np.asarray(ue).shape == (32, 1)
         assert np.all(np.asarray(ue) >= 0)
+
+
+# ---------------------------------------------------------------------------
+# anchor-axis memory grouping: grouped scan == single vmap
+# ---------------------------------------------------------------------------
+class TestAnchoredEvalGrouping:
+    """ΔUQ/PAGER bound the (anchors × batch × width) eval intermediates by
+    chunking (delta_uq.anchor_rows_budget) — the reference's external
+    package loops anchors one-at-a-time instead, so big
+    ``num_anchors × anchored_batch_size`` combos OOM'd here before this
+    (observed live at num_anchors=500 × batch=131072: a 13.3 GB HLO
+    temp).  Grouped results must match the one-shot vmap exactly."""
+
+    def test_delta_uq_grouped_matches(self):
+        x, y = _data(48)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 10}).build()
+        m.anchors = np.random.default_rng(1).normal(size=(10, 4)).astype(
+            np.float32)
+        mean_a, std_a = m(x, return_ue=True)
+        m.anchor_rows_budget = 3 * 48          # force groups of 3 anchors
+        m.invalidate_cache()
+        mean_b, std_b = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(mean_a), np.asarray(mean_b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(std_a), np.asarray(std_b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_delta_uq_grouped_var_matches(self):
+        x, y = _data(48)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'var', 'num_anchors': 7}).build()
+        m.anchors = np.random.default_rng(1).normal(size=(7, 4)).astype(
+            np.float32)
+        _, var_a = m(x, return_ue=True)
+        m.anchor_rows_budget = 2 * 48
+        m.invalidate_cache()
+        _, var_b = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_pager_grouped_matches(self):
+        x, y = _data(40)
+        m = PAGERModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 6}).build()
+        rng = np.random.default_rng(2)
+        m.anchors = rng.normal(size=(6, 4)).astype(np.float32)
+        m.anchors_Y = rng.normal(size=(6, 1)).astype(np.float32)
+        _, ue_a = m(x, return_ue=True)
+        m.anchor_rows_budget = 6 * 5           # groups of 5 test samples
+        m.invalidate_cache()
+        _, ue_b = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(ue_a), np.asarray(ue_b),
+                                   rtol=1e-5, atol=1e-6)

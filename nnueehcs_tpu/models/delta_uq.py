@@ -106,9 +106,11 @@ class DeltaUQMLP(WrappedModelBase):
                 return y
             return jax.vmap(one_anchor)(a_group)             # (g, B, out)
 
-        g = max(1, min(n_anchors, self.anchor_rows_budget // max(B, 1)))
-        if g >= n_anchors:
-            preds = group_preds(anchors[:n_anchors])
+        A = anchors[:n_anchors]
+        k = A.shape[0]                   # may be < n_anchors (few anchors)
+        g = max(1, min(k, self.anchor_rows_budget // max(B, 1)))
+        if g >= k:
+            preds = group_preds(A)
             mean = preds.mean(0)
             if self.estimator == 'var':
                 spread = jnp.var(preds, axis=0, ddof=1)
@@ -116,31 +118,39 @@ class DeltaUQMLP(WrappedModelBase):
                 spread = _std_unbiased(preds, axis=0)
             return mean, spread
 
-        # grouped scan accumulating first/second moments (padded anchors
-        # are masked out of the sums)
-        n_groups = -(-n_anchors // g)
-        pad = n_groups * g - n_anchors
-        A = anchors[:n_anchors]
+        # grouped scan combining per-group (count, mean, M2) with Chan's
+        # parallel-variance update — single pass and numerically stable
+        # (a raw Σp²−n·mean² accumulation cancels catastrophically in f32
+        # for outputs with large means), padded anchors masked out
+        n_groups = -(-k // g)
+        pad = n_groups * g - k
         if pad:
             A = jnp.concatenate(
                 [A, jnp.zeros((pad,) + A.shape[1:], A.dtype)], axis=0)
         A = A.reshape(n_groups, g, *A.shape[1:])
-        w = (jnp.arange(n_groups * g) < n_anchors).astype(jnp.float32)
+        w = (jnp.arange(n_groups * g) < k).astype(jnp.float32)
         w = w.reshape(n_groups, g)
-
-        def body(carry, inp):
-            s, ss = carry
-            a_g, w_g = inp
-            p = group_preds(a_g).astype(jnp.float32)
-            p = p * w_g[:, None, None]
-            return (s + p.sum(0), ss + (p * p).sum(0)), None
 
         out_dim = self.net.layers[-1].out_features
         zero = jnp.zeros((B, out_dim), jnp.float32)
-        (s, ss), _ = jax.lax.scan(body, (zero, zero), (A, w))
-        n = jnp.float32(n_anchors)
-        mean = s / n
-        var = jnp.maximum(ss - n * mean * mean, 0.0) / (n - 1.0)
+
+        def body(carry, inp):
+            n, mean, M2 = carry
+            a_g, w_g = inp
+            p = group_preds(a_g).astype(jnp.float32)
+            wg = w_g[:, None, None]
+            cg = jnp.sum(w_g)                       # ≥ 1 (pad < g)
+            mean_g = jnp.sum(p * wg, axis=0) / cg
+            M2_g = jnp.sum(wg * jnp.square(p - mean_g[None]), axis=0)
+            delta = mean_g - mean
+            n_new = n + cg
+            mean_new = mean + delta * (cg / n_new)
+            M2_new = M2 + M2_g + jnp.square(delta) * (n * cg / n_new)
+            return (n_new, mean_new, M2_new), None
+
+        (n, mean, M2), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), zero, zero), (A, w))
+        var = M2 / (n - 1.0)
         spread = var if self.estimator == 'var' else jnp.sqrt(var)
         return mean.astype(x.dtype), spread.astype(x.dtype)
 

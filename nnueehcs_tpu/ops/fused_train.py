@@ -79,7 +79,6 @@ class _Lin:
     var_off: int          # BN running-var row, or -1
     zh_idx: int           # index into the zhat scratch, or -1
     relu: bool
-    drop: float = 0.0     # unused (rates are runtime inputs — drop_rates())
     mask_idx: int = -1    # index into the dropout-mask scratch, or -1
 
 
@@ -211,7 +210,7 @@ def plan_fused_train(net, num_members: int, batch: int, *,
             n_drop += 1
         lins.append(_Lin(i, bn_layer, w_off, in_rows, in_w, out_w, b_off,
                          g_off, be_off, mean_off, var_off, zh_idx, relu,
-                         drop=0.0, mask_idx=mask_idx))
+                         mask_idx=mask_idx))
         i = j
     if not lins or lins[-1].bn_layer >= 0 or lins[-1].relu:
         return None
@@ -440,7 +439,9 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
         x = x ^ (x >> jnp.uint32(16))
         u = bc(x >> jnp.uint32(8), jnp.int32).astype(jnp.float32) \
             * (1.0 / (1 << 24))
-        return (u < keep).astype(jnp.float32) * (1.0 / keep)
+        # where() (not mask*1/keep) so rate 1.0 yields exact zeros like
+        # nn.layers.Dropout instead of 0·inf = NaN
+        return jnp.where(u < keep, 1.0 / keep, 0.0)
 
     def forward(m, update_ema, save_zhat, save_masks=False):
         """One member's training-mode forward.  Dropout masks are a pure
@@ -452,7 +453,11 @@ def _epoch_kernel(plan: FusedTrainPlan, lr_ref, step0_ref, seed_ref,
         h = x.astype(jnp.float32)
         for L in lins:
             if L.mask_idx >= 0:
-                salt = (seed_ref[0, 0] + i * 7919 + m * 131071
+                # step stride deliberately differs from the trainer's
+                # per-epoch seed stride (trainer._epoch_seed, 7919) — equal
+                # strides would repeat epoch e's step-i masks as epoch
+                # e+1's step-(i-1) masks along fit anti-diagonals
+                salt = (seed_ref[0, 0] + i * 1225253 + m * 131071
                         + L.mask_idx * 524287)
                 mask = _gen_mask(1.0 - drops_ref[L.mask_idx, 0], h.shape,
                                  salt)

@@ -150,6 +150,12 @@ class Trainer:
         return float(np.average(losses, weights=weights))
 
     # ------------------------------------------------------------------ fit
+    def _epoch_seed(self, epoch: int) -> int:
+        """Per-epoch seed for the fused kernel's dropout stream — the one
+        source of truth for the per-epoch and whole-fit paths (the kernel's
+        per-step salt stride must stay different from this epoch stride)."""
+        return (self.seed * 1000003 + epoch * 7919) & 0x7fffffff
+
     def _device(self):
         if self.devices:
             return self.devices[0]
@@ -539,7 +545,11 @@ class Trainer:
                     stop = jnp.logical_and(~eimp, ew_new >= _es_patience)
 
                     # best-checkpoint pin (ModelSavingCallback semantics)
-                    bimp = vl < c['best_vl']
+                    # pin the first executed epoch unconditionally (the
+                    # host ModelSavingCallback's first on_validation_end
+                    # sets best even for NaN losses)
+                    bimp = jnp.logical_or(vl < c['best_vl'],
+                                          e == start_ep)
                     lbuf = jax.lax.dynamic_update_slice(
                         c['lbuf'], losses[None, :].astype(jnp.float32),
                         (e, 0))
@@ -723,7 +733,7 @@ class Trainer:
                                                              opt)
                 th, mb, vb, sg = fused_buffers
                 ep_seeds = jnp.asarray(
-                    [(self.seed * 1000003 + e * 7919) & 0x7fffffff
+                    [self._epoch_seed(e)
                      for e in range(self.max_epochs)], jnp.int32)
                 pl0 = (jnp.asarray(plateau.best, jnp.float32),
                        jnp.asarray(plateau.num_bad, jnp.int32),
@@ -754,8 +764,10 @@ class Trainer:
                 best_params = unpack_tree(fused_plan, bth, model.params)
                 best_state = unpack_state(fused_plan, bsg, model.state)
 
-                argmin_e = (int(np.nanargmin(vlbuf[epoch:ep_done])) + epoch
-                            if ep_done > epoch else epoch)
+                vslice = vlbuf[epoch:ep_done]
+                argmin_e = (int(np.nanargmin(vslice)) + epoch
+                            if ep_done > epoch
+                            and not np.all(np.isnan(vslice)) else epoch)
                 for e in range(epoch, ep_done):
                     self.current_epoch = e
                     self.fused_epochs_used += 1
@@ -779,6 +791,12 @@ class Trainer:
                         model.params, model.state = live
                     else:
                         for h in hooks:
+                            # ModelSavingCallback only fires at the argmin
+                            # replay epoch — at other epochs model.params
+                            # are the END-of-fit params, and a non-deferred
+                            # save would write them to disk mid-replay
+                            if isinstance(h, ModelSavingCallback):
+                                continue
                             h.on_validation_end(self, model,
                                                 self.callback_metrics)
                     lr_scale = plateau.step(vl)
@@ -800,7 +818,7 @@ class Trainer:
                     fused_buffers, fused_step0 = _pack_fused(params, state,
                                                              opt)
                 th, mb, vb, sg = fused_buffers
-                ep_seed = (self.seed * 1000003 + epoch * 7919) & 0x7fffffff
+                ep_seed = self._epoch_seed(epoch)
                 th, mb, vb, sg, params, state, larr = kernel_epoch_jit(
                     th, mb, vb, sg, x_train, y_train, perm, offset_dev,
                     lr, jnp.asarray(fused_step0, jnp.int32),

@@ -168,3 +168,40 @@ class TestAnchoredEvalGrouping:
         _, ue_b = m(x, return_ue=True)
         np.testing.assert_allclose(np.asarray(ue_a), np.asarray(ue_b),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_grouped_large_mean_stable(self):
+        """Outputs with mean ~1e4 and tiny anchored spread: a raw
+        Σp²−n·mean² accumulation cancels catastrophically in f32; the
+        Chan-combine grouped path must match the two-pass vmap closely."""
+        x, _ = _data(48)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 9}).build()
+        params = list(m.params)
+        last = dict(params[-1])
+        last['b'] = last['b'] + 1e4
+        params[-1] = last
+        m.params = tuple(params)
+        m.anchors = np.random.default_rng(3).normal(size=(9, 4)).astype(
+            np.float32)
+        mean_a, std_a = m(x, return_ue=True)
+        m.anchor_rows_budget = 2 * 48
+        m.invalidate_cache()
+        mean_b, std_b = m(x, return_ue=True)
+        assert float(np.mean(np.asarray(mean_a))) > 1e3
+        np.testing.assert_allclose(np.asarray(std_a), np.asarray(std_b),
+                                   rtol=2e-2, atol=1e-4)
+
+    def test_grouped_short_anchor_buffer(self):
+        """Fewer stored anchors than num_anchors must not break the
+        grouped reshape (the vmap path always tolerated short buffers)."""
+        x, _ = _data(32)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 50}).build()
+        m.anchors = np.random.default_rng(1).normal(size=(7, 4)).astype(
+            np.float32)
+        mean_a, std_a = m(x, return_ue=True)
+        m.anchor_rows_budget = 2 * 32
+        m.invalidate_cache()
+        mean_b, std_b = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(std_a), np.asarray(std_b),
+                                   rtol=1e-4, atol=1e-6)

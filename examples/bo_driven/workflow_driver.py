@@ -98,12 +98,34 @@ def emit_sbatch_scripts(config_data, config_path, total, output, rundir):
               help='Emit sbatch scripts instead of running locally')
 @click.option('--platform', default=None,
               help="Pin the tasks' JAX platform (e.g. 'cpu')")
-def main(config, output, rundir, max_tasks, sbatch, platform):
+@click.option('--cells', default=None,
+              help='Comma-separated benchmark:uq_method:dataset triples; '
+                   'runs exactly these cells in the given order instead of '
+                   'the full benchmarks × uq_methods × splits product')
+def main(config, output, rundir, max_tasks, sbatch, platform, cells):
     config_data = get_config(config)
     benches = list(config_data['benchmarks'].keys())
     uq_methods = list(config_data['uq_methods'].keys())
     dsets = ['tails', 'gaps']
-    total = list(product(benches, uq_methods, dsets))
+    if cells:
+        total = []
+        for spec in cells.split(','):
+            parts = spec.strip().split(':')
+            if len(parts) != 3:
+                raise click.BadParameter(
+                    f'cell {spec!r} is not benchmark:uq_method:dataset')
+            b, m, d = parts
+            if b not in benches:
+                raise click.BadParameter(
+                    f'unknown benchmark {b!r} (config has {benches})')
+            if m not in uq_methods:
+                raise click.BadParameter(
+                    f'unknown uq_method {m!r} (config has {uq_methods})')
+            if d not in dsets:
+                raise click.BadParameter(f'unknown dataset split {d!r}')
+            total.append((b, m, d))
+    else:
+        total = list(product(benches, uq_methods, dsets))
 
     wf_cfg = config_data.get('workflow_config', {})
     retries = wf_cfg.get('retries', 20)

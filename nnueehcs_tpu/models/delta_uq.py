@@ -46,13 +46,32 @@ def anchored_input(x, anchor):
 class DeltaUQMLP(WrappedModelBase):
     uq_method = 'delta_uq'
 
+    #: Cap on the number of anchors used for *validation-loss* passes during
+    #: training.  The reference validates through the full ``num_anchors``
+    #: anchored eval every epoch (reference ``models.py:313-341`` driven by
+    #: Lightning's ``validation_step``), which at 500 anchors × 12.8k val
+    #: rows × 300 epochs dominates trial wall-clock (~10-35 min/trial
+    #: measured) while contributing nothing to the reported metrics — the
+    #: val loss only drives early-stop/best-checkpoint selection, and the
+    #: anchored *mean* converges with a handful of anchors.  This is a
+    #: documented deviation: validation uses ``min(num_anchors,
+    #: val_num_anchors)`` anchors; set ``val_num_anchors: null`` in the
+    #: uq_config for exact reference behaviour.  The UE/eval path
+    #: (``eval_output`` / ``eval_with_buffers`` / timed passes) always uses
+    #: the full ``num_anchors`` and is pinned by
+    #: ``tests/test_uq_switches.py``.
+    DEFAULT_VAL_NUM_ANCHORS = 16
+
     def __init__(self, net, estimator: str = 'std', num_anchors: int = 5,
-                 anchored_batch_size=None, **kwargs):
+                 anchored_batch_size=None, val_num_anchors='default',
+                 **kwargs):
         super().__init__(net, **kwargs)
         if estimator not in ('std', 'var'):
             raise ValueError(f'Unknown estimator {estimator!r}')
         self.estimator = estimator
         self.num_anchors = num_anchors
+        self.val_num_anchors = self.DEFAULT_VAL_NUM_ANCHORS \
+            if val_num_anchors == 'default' else val_num_anchors
         self.batch_size = sys.maxsize if anchored_batch_size is None \
             else anchored_batch_size
         self._anchors = None
@@ -131,8 +150,10 @@ class DeltaUQMLP(WrappedModelBase):
         w = (jnp.arange(n_groups * g) < k).astype(jnp.float32)
         w = w.reshape(n_groups, g)
 
-        out_dim = self.net.layers[-1].out_features
-        zero = jnp.zeros((B, out_dim), jnp.float32)
+        # derive the output shape by tracing (the wrapped net may end in an
+        # activation/BN rather than a Linear with an out_features attr)
+        out_shape = jax.eval_shape(group_preds, A[0]).shape[1:]
+        zero = jnp.zeros(out_shape, jnp.float32)
 
         def body(carry, inp):
             n, mean, M2 = carry
@@ -180,12 +201,21 @@ class DeltaUQMLP(WrappedModelBase):
 
     def validation_loss(self, params, state, batch, rng):
         # The doubled-forward fallback (no anchors) yields 2B outputs; match
-        # the reference's loss-vs-doubled-target there.
+        # the reference's loss-vs-doubled-target there.  With anchors set,
+        # the anchored mean is computed over at most ``val_num_anchors``
+        # anchors (see DEFAULT_VAL_NUM_ANCHORS for the rationale); the
+        # eval/UE path is unaffected.
         x, y = batch
-        out = self.eval_output(params, state, x, rng, return_ue=False)
-        if out.shape[0] == 2 * y.shape[0]:
-            y = jnp.concatenate([y, y], axis=0)
-        return self.loss(out, y)
+        buffers = self.eval_buffers()
+        if not buffers:
+            out = self.eval_output(params, state, x, rng, return_ue=False)
+            if out.shape[0] == 2 * y.shape[0]:
+                y = jnp.concatenate([y, y], axis=0)
+            return self.loss(out, y)
+        n = self.num_anchors if self.val_num_anchors is None \
+            else min(self.num_anchors, self.val_num_anchors)
+        mean, _ = self._anchored_stats(params, state, x, buffers[0], n)
+        return self.loss(mean, y)
 
     # --------------------------------------------------------------- chunking
     def __call__(self, x, return_ue: bool = False):
@@ -206,6 +236,7 @@ class DeltaUQMLP(WrappedModelBase):
         d = super().config_dict()
         d['estimator'] = self.estimator
         d['num_anchors'] = self.num_anchors
+        d['val_num_anchors'] = self.val_num_anchors
         d['anchored_batch_size'] = None if self.batch_size == sys.maxsize \
             else self.batch_size
         return d

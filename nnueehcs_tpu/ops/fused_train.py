@@ -373,7 +373,13 @@ def _loss_and_grad(plan, pred, ypad):
         return jnp.sum(terms), dmu0 + lane_mm(draw0, P01)
     diff = pred - ypad
     if plan.loss == 'l1_loss':
-        return jnp.sum(jnp.abs(diff)), jnp.sign(diff) / denom
+        # match jax.grad(abs)'s convention of 1.0 at diff == 0 (sign()
+        # would give 0 there), but only on true lanes — padded lanes have
+        # diff exactly 0 and must not contribute gradient
+        cols = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+        lane = (cols < ow).astype(jnp.float32)
+        g = jnp.where(diff >= 0.0, lane, -lane)
+        return jnp.sum(jnp.abs(diff)), g / denom
     return jnp.sum(diff * diff), 2.0 * diff / denom
 
 

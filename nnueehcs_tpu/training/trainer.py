@@ -547,9 +547,17 @@ class Trainer:
                     # best-checkpoint pin (ModelSavingCallback semantics)
                     # pin the first executed epoch unconditionally (the
                     # host ModelSavingCallback's first on_validation_end
-                    # sets best even for NaN losses)
-                    bimp = jnp.logical_or(vl < c['best_vl'],
-                                          e == start_ep)
+                    # sets best even for NaN losses); afterwards only a
+                    # finite vl may pin — NaN < x is always False, so a
+                    # NaN start pin would otherwise stick forever while
+                    # the host replay's nanargmin moves to the first
+                    # finite epoch
+                    bimp = jnp.logical_or(
+                        e == start_ep,
+                        jnp.logical_and(
+                            ~jnp.isnan(vl),
+                            jnp.logical_or(vl < c['best_vl'],
+                                           jnp.isnan(c['best_vl']))))
                     lbuf = jax.lax.dynamic_update_slice(
                         c['lbuf'], losses[None, :].astype(jnp.float32),
                         (e, 0))
@@ -801,8 +809,11 @@ class Trainer:
                                                 self.callback_metrics)
                     lr_scale = plateau.step(vl)
                     self.logger.save()
-                    if self.should_stop:
-                        break
+                    # the device's ep_done is authoritative for the stop
+                    # point: the host EarlyStopping replay re-decides in
+                    # float64 and a nonzero min_delta could diverge on a
+                    # borderline epoch, truncating replayed logs/callbacks
+                    # while params keep the device's end-of-fit values
                 break
 
             # ---- fused-kernel path: the whole train epoch as ONE Pallas

@@ -205,3 +205,66 @@ class TestAnchoredEvalGrouping:
         mean_b, std_b = m(x, return_ue=True)
         np.testing.assert_allclose(np.asarray(std_a), np.asarray(std_b),
                                    rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# validation-anchor cap: val loss uses min(num_anchors, val_num_anchors)
+# anchors; the UE/eval path always uses the full num_anchors
+# ---------------------------------------------------------------------------
+class TestValNumAnchorsCap:
+    def _model(self, **duq):
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 12, **duq}).build()
+        m.anchors = np.random.default_rng(5).normal(size=(12, 4)).astype(
+            np.float32)
+        return m
+
+    def test_val_loss_uses_capped_anchors(self):
+        x, y = _data(32)
+        m = self._model(val_num_anchors=3)
+        vl_capped = float(m.validation_loss(m.params, m.state, (x, y), None))
+        # manual: anchored mean over the FIRST 3 stored anchors only
+        mean3, _ = m._anchored_stats(m.params, m.state, jnp.asarray(x),
+                                     m.anchors, 3)
+        manual = float(jnp.mean(jnp.abs(mean3 - y)))
+        assert vl_capped == pytest.approx(manual, rel=1e-6)
+        # differs from the full-anchor validation loss
+        m_full = self._model(val_num_anchors=None)
+        m_full.params, m_full.state = m.params, m.state
+        vl_full = float(m_full.validation_loss(m_full.params, m_full.state,
+                                               (x, y), None))
+        mean12, _ = m._anchored_stats(m.params, m.state, jnp.asarray(x),
+                                      m.anchors, 12)
+        assert vl_full == pytest.approx(
+            float(jnp.mean(jnp.abs(mean12 - y))), rel=1e-6)
+        assert vl_capped != pytest.approx(vl_full, rel=1e-9)
+
+    def test_eval_path_unaffected_by_cap(self):
+        """The UE pass (timed eval / metrics) must use the full
+        num_anchors regardless of val_num_anchors."""
+        x, _ = _data(24)
+        m_cap = self._model(val_num_anchors=2)
+        m_ref = self._model(val_num_anchors=None)
+        m_ref.params, m_ref.state = m_cap.params, m_cap.state
+        m_ref.anchors = m_cap.anchors
+        pa, ua = m_cap(x, return_ue=True)
+        pb, ub = m_ref(x, return_ue=True)
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_no_anchors_fallback_still_doubles(self):
+        x, y = _data(16)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 4,
+                    'val_num_anchors': 2}).build()
+        vl = m.validation_loss(m.params, m.state, (x, y), None)
+        assert np.isfinite(float(vl))
+
+    def test_default_cap_and_checkpoint_roundtrip(self):
+        m = self._model()
+        assert m.val_num_anchors == m.DEFAULT_VAL_NUM_ANCHORS
+        d = m.config_dict()
+        assert d['val_num_anchors'] == m.DEFAULT_VAL_NUM_ANCHORS
+        m2 = self._model(val_num_anchors=None)
+        assert m2.val_num_anchors is None
+        assert m2.config_dict()['val_num_anchors'] is None

@@ -26,6 +26,65 @@ import numpy as np
 _MACS_PER_ROW_PER_MEMBER = 128 * (5 + 5 * 128 + 1)
 _V5E_BF16_PEAK_FLOPS = 197e12
 
+# timing repetitions: each rep is one bracketed group of dispatches; the
+# reported value is the median over reps (tunnel-latency outliers are real
+# but not representative), the spread is max-min as a % of the median
+BENCH_REPS = 7
+
+import os as _os
+HISTORY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             'bench_history.json')
+
+
+def _spread(times):
+    med = float(np.median(times))
+    return {
+        'min_ms': round(1e3 * min(times), 3),
+        'max_ms': round(1e3 * max(times), 3),
+        'spread_pct': round(100.0 * (max(times) - min(times)) / med, 1),
+    }
+
+
+def _compare_and_record(metric, value, unit, spread, record):
+    """Compare against the last recorded run of this metric and append to
+    the on-disk history (bench_history.json).  Drift beyond the measured
+    noise band (max of both runs' spreads, floor 5%) is flagged loudly on
+    stderr — the VERDICT r2 requirement that a silent 12% round-over-round
+    regression can never happen again."""
+    hist = []
+    try:
+        with open(HISTORY_PATH) as f:
+            hist = json.load(f)
+    except Exception:
+        pass
+    prev = next((h for h in reversed(hist) if h.get('metric') == metric),
+                None)
+    vs_prev = None
+    if prev and prev.get('value'):
+        vs_prev = value / prev['value']
+        drift = (vs_prev - 1.0) * 100.0
+        band = max(5.0, (spread or {}).get('spread_pct') or 0.0,
+                   prev.get('spread_pct') or 0.0)
+        if abs(drift) > band:
+            print(f'# REGRESSION WARNING: {metric} moved {drift:+.1f}% vs '
+                  f'recorded {prev["value"]:,} ({prev.get("ts", "?")}) — '
+                  f'beyond the {band:.1f}% noise band', file=sys.stderr)
+        else:
+            print(f'# vs recorded prior ({prev.get("ts", "?")}): '
+                  f'{drift:+.1f}% (within {band:.1f}% noise band)',
+                  file=sys.stderr)
+    if record:
+        hist.append({'metric': metric, 'value': round(value, 1),
+                     'unit': unit,
+                     'spread_pct': (spread or {}).get('spread_pct'),
+                     'ts': time.strftime('%Y-%m-%dT%H:%M:%S')})
+        try:
+            with open(HISTORY_PATH, 'w') as f:
+                json.dump(hist, f, indent=1)
+        except Exception as e:
+            print(f'# history not recorded: {e}', file=sys.stderr)
+    return vs_prev
+
 
 def _build_model(workload: str, num_models: int, precision=None):
     from __graft_entry__ import _flagship
@@ -94,13 +153,16 @@ def jax_train_throughput(batch: int, num_models: int, warmup: int,
         out = fn(p, s, o, x, y, jax.random.PRNGKey(0))
         p, s, o = out[0], out[1], out[2]
         sync(out)
-    start = time.perf_counter()
-    for i in range(trials):
-        out = fn(p, s, o, x, y, jax.random.PRNGKey(i))
-        p, s, o = out[0], out[1], out[2]
-    sync(out)
-    mean_t = (time.perf_counter() - start) / trials
-    return batch / mean_t, mean_t
+    rep_times = []
+    for r in range(BENCH_REPS):
+        start = time.perf_counter()
+        for i in range(trials):
+            out = fn(p, s, o, x, y, jax.random.PRNGKey(r * trials + i))
+            p, s, o = out[0], out[1], out[2]
+        sync(out)
+        rep_times.append((time.perf_counter() - start) / trials)
+    mean_t = float(np.median(rep_times))
+    return batch / mean_t, mean_t, _spread(rep_times)
 
 
 def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
@@ -199,13 +261,16 @@ def jax_train_epoch_throughput(steps: int, batch: int, num_models: int,
 
     for _ in range(warmup):
         sync(run_epoch())
-    start = time.perf_counter()
-    out = None
-    for _ in range(trials):
-        out = run_epoch()
-    sync(out)
-    mean_t = (time.perf_counter() - start) / trials
-    return steps * batch / mean_t, mean_t
+    rep_times = []
+    for _ in range(BENCH_REPS):
+        start = time.perf_counter()
+        out = None
+        for _ in range(trials):
+            out = run_epoch()
+        sync(out)
+        rep_times.append((time.perf_counter() - start) / trials)
+    mean_t = float(np.median(rep_times))
+    return steps * batch / mean_t, mean_t, _spread(rep_times)
 
 
 def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
@@ -215,7 +280,7 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
 
     if workload == 'ensemble_train':
         return jax_train_throughput(batch, num_models, warmup, trials,
-                                    precision=precision)
+                                    precision=precision)   # 3-tuple
     model = _build_model(workload, num_models, precision=precision)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
@@ -240,15 +305,20 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
 
     for _ in range(warmup):
         sync(fn(*args))
-    # group timing: N dispatches bracketed by host fetches — measures
-    # steady-state pipelined throughput
-    start = time.perf_counter()
-    out = None
-    for _ in range(trials):
-        out = fn(*args)
-    sync(out)
-    mean_t = (time.perf_counter() - start) / trials
-    return batch / mean_t, mean_t
+    # repeated group timing: each rep brackets `trials` pipelined dispatches
+    # with host fetches, giving one steady-state per-pass time; the median
+    # over reps resists tunnel-latency outliers and the spread is reported
+    # so round-over-round drift can be told from run-to-run noise
+    rep_times = []
+    for _ in range(BENCH_REPS):
+        start = time.perf_counter()
+        out = None
+        for _ in range(trials):
+            out = fn(*args)
+        sync(out)
+        rep_times.append((time.perf_counter() - start) / trials)
+    mean_t = float(np.median(rep_times))
+    return batch / mean_t, mean_t, _spread(rep_times)
 
 
 def torch_reference_throughput(batch: int, num_models: int, warmup: int,
@@ -371,11 +441,11 @@ def main():
         eff_members = 1 if mc else args.num_models
         steps = 50 if args.quick else 500
         ep_batch = 128
-        tpu_tp, tpu_t = jax_train_epoch_throughput(
+        tpu_tp, tpu_t, spread = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
             max(3, trials // 2), fused=True, precision=args.precision,
             kind=kind)
-        scan_tp, scan_t = jax_train_epoch_throughput(
+        scan_tp, scan_t, _ = jax_train_epoch_throughput(
             steps, ep_batch, args.num_models, max(1, warmup // 2),
             max(3, trials // 2), fused=False, kind=kind)
         flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * eff_members * 3
@@ -383,7 +453,8 @@ def main():
         print(f'# jax fused-epoch ({kind}): steps={steps} batch={ep_batch} '
               f'members={eff_members} epoch={tpu_t * 1e3:.1f}ms '
               f'({tpu_t / steps * 1e6:.0f}us/step) '
-              f'throughput={tpu_tp:,.0f} rows/s mfu={100 * mfu:.1f}%',
+              f'throughput={tpu_tp:,.0f} rows/s mfu={100 * mfu:.1f}% '
+              f'spread={spread["spread_pct"]}% over {BENCH_REPS} reps',
               file=sys.stderr)
         print(f'# jax scan-epoch : epoch={scan_t * 1e3:.1f}ms '
               f'({scan_t / steps * 1e6:.0f}us/step) '
@@ -401,18 +472,23 @@ def main():
                 vs_baseline = tpu_tp / ref_tp
             except Exception as e:
                 print(f'# baseline unavailable: {e}', file=sys.stderr)
+        metric = (f'uq_{args.workload}_throughput'
+                  if mc else 'uq_ensemble_train_epoch_throughput')
+        vs_prev = _compare_and_record(metric, tpu_tp, 'samples/s', spread,
+                                      record=not args.quick)
         print(json.dumps({
-            'metric': f'uq_{args.workload}_throughput'
-                      if mc else 'uq_ensemble_train_epoch_throughput',
+            'metric': metric,
             'value': round(tpu_tp, 1),
             'unit': 'samples/s',
             'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+            'spread_pct': spread['spread_pct'],
+            'vs_prev': round(vs_prev, 3) if vs_prev else None,
         }))
         return
 
-    tpu_tp, tpu_t = jax_ue_throughput(batch, args.num_models, warmup, trials,
-                                      workload=args.workload,
-                                      precision=args.precision)
+    tpu_tp, tpu_t, spread = jax_ue_throughput(
+        batch, args.num_models, warmup, trials,
+        workload=args.workload, precision=args.precision)
     kind = 'train step' if args.workload == 'ensemble_train' else 'ue pass'
     prec = f' precision={args.precision}' if args.precision else ''
     # MFU against the v5e bf16 MXU peak (fwd=2·MACs; train≈3× for the two
@@ -425,8 +501,9 @@ def main():
                 if args.workload in ('ensemble', 'ensemble_train') else '')
     print(f'# jax {args.workload} {kind}: batch={batch} '
           f'members={args.num_models}{prec} '
-          f'mean_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s'
-          f'{mfu_note}',
+          f'median_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s'
+          f'{mfu_note} spread={spread["spread_pct"]}% '
+          f'[{spread["min_ms"]}, {spread["max_ms"]}]ms over {BENCH_REPS} reps',
           file=sys.stderr)
 
     vs_baseline = None
@@ -447,11 +524,15 @@ def main():
     metric_name = ('uq_ensemble_train_throughput'
                    if args.workload == 'ensemble_train'
                    else f'uq_{args.workload}_ue_throughput')
+    vs_prev = _compare_and_record(metric_name, tpu_tp, 'samples/s', spread,
+                                  record=not args.quick)
     print(json.dumps({
         'metric': metric_name,
         'value': round(tpu_tp, 1),
         'unit': 'samples/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        'spread_pct': spread['spread_pct'],
+        'vs_prev': round(vs_prev, 3) if vs_prev else None,
     }))
 
 

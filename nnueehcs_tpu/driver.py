@@ -416,8 +416,10 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
         if devices is not None:
             if len(devices) > 1:
                 from .parallel.mesh import make_mesh
-                model.attach_mesh(make_mesh({'dp': len(devices)},
-                                            devices=devices))
+                # honor a configured dp×member×tp trainer mesh at eval
+                # time too; default to pure data parallelism
+                axes = trainer_cfg.get('mesh') or {'dp': len(devices)}
+                model.attach_mesh(make_mesh(axes, devices=devices))
             else:
                 model.to(devices[0])
 

@@ -18,3 +18,30 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        '--runslow', action='store_true', default=False,
+        help='also run tests marked slow (multi-minute subprocess grids, '
+             'interpret-mode Pallas sweeps, BO convergence runs)')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers',
+        'slow: long-running test, skipped by default; run with --runslow '
+        'or an explicit -m expression')
+
+
+def pytest_collection_modifyitems(config, items):
+    # an explicit -m expression governs selection; otherwise slow tests are
+    # skipped so the default `pytest -q` profile stays under ~5 minutes
+    if config.getoption('--runslow') or config.getoption('markexpr'):
+        return
+    skip = pytest.mark.skip(reason='slow: use --runslow (or -m slow)')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

@@ -204,3 +204,17 @@ def test_knn_kde_model_sharded_eval(data):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ue), np.asarray(ref_ue),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_full_bo_trial_on_tp_mesh():
+    """Mirror of __graft_entry__.dryrun_multichip's mini BO trial: one
+    complete L4 trial (trainer, checkpointing, timed UE evaluate,
+    trial-results row) on the dp×member×tp virtual mesh."""
+    import __graft_entry__ as g
+    axes = {'dp': 2, 'member': 2, 'tp': 2}
+    mesh = make_mesh(axes)
+    row = g.dryrun_bo_trial(mesh, axes)
+    assert str(row['failed']).lower() in ('false', '0')
+    assert float(row['percentile_score']) > 0
+    assert float(row['uncertainty_estimating_throughput']) > 0

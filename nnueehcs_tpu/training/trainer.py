@@ -82,6 +82,13 @@ def _resolve_limit(limit, total: int) -> int:
 
 
 class Trainer:
+    # whole-fit auto-engagement thresholds (see _whole_fit_ok): break-even
+    # from the measured ~40 s compile premium / ~250 ms-per-epoch dispatch
+    # saving; the delay demands evidence of a long fit before paying the
+    # premium when early stopping could end it cheaply
+    WHOLE_FIT_BREAK_EVEN_EPOCHS = 160
+    WHOLE_FIT_AUTO_DELAY = 120
+
     def __init__(self, name, trainer_config, logger=None, callbacks=None,
                  version=None, log_dir='logs'):
         self.name = name
@@ -598,13 +605,29 @@ class Trainer:
                 callback's validation behaviour replayable post-hoc."""
                 if os.environ.get('NNUEEHCS_TPU_NO_WHOLE_FIT'):
                     return False
-                # opt-in: the one-dispatch fit wins for long fixed-shape
-                # fits (>~120 epochs) but its one-off XLA compile is much
-                # larger than the per-epoch program's — measured on-chip:
-                # ~40 s/fit warm-cache vs ~16 s for the per-epoch kernel
-                # path at 30 epochs, ~50 ms/epoch steady-state vs ~300 ms
-                if not self.trainer_config.get('whole_fit', False):
+                # cost model, measured on-chip (docs/BENCHMARKS.md): the
+                # one-dispatch fit costs ~40 s of extra XLA compile
+                # (warm-cache) and saves ~250 ms/epoch of dispatch overhead
+                # vs the per-epoch kernel (~300 ms -> ~50 ms), so it wins
+                # once ~160 epochs actually run.  Config values:
+                #   false      never engage
+                #   true       engage as soon as all hooks are eligible
+                #   'auto'     (default) engage when the remaining epochs
+                #              clear the break-even point; with an
+                #              EarlyStopping hook the fit must also have
+                #              *survived* WHOLE_FIT_AUTO_DELAY epochs first
+                #              (evidence of a long fit), so short early-
+                #              stopped fits never pay the compile premium
+                mode = self.trainer_config.get('whole_fit', 'auto')
+                if not mode:
                     return False
+                if mode == 'auto':
+                    has_es = any(isinstance(h, EarlyStopping) for h in hooks)
+                    remaining = self.max_epochs - e0
+                    if remaining < self.WHOLE_FIT_BREAK_EVEN_EPOCHS:
+                        return False
+                    if has_es and e0 < self.WHOLE_FIT_AUTO_DELAY:
+                        return False
                 n_es = 0
                 for h in hooks:
                     if isinstance(h, EarlyStopping):

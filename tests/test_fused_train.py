@@ -726,3 +726,32 @@ def test_bf16_mixed_tracks_f32_loosely():
     # same trajectory within bf16 resolution, and learning still happens
     np.testing.assert_allclose(l16, l32, rtol=0.1, atol=0.05)
     assert l16[-5:].mean() < 0.9 * l16[:5].mean()
+
+
+def test_whole_fit_auto_heuristic(tmp_path):
+    """whole_fit: 'auto' (the default) engages only when the remaining
+    epochs clear the measured break-even point, and — with EarlyStopping
+    present — only after the fit has survived WHOLE_FIT_AUTO_DELAY epochs,
+    so short early-stopped fits never pay the compile premium."""
+    from nnueehcs_tpu.training import Trainer
+
+    # short fit: remaining < break-even -> never engages
+    _, tr, _ = _fit_traj(tmp_path, 'auto', 'a1', epochs=4)
+    assert tr.whole_fit_dispatches == 0
+    assert tr.fused_epochs_used == 4
+
+    # long fit (thresholds scaled down to keep the test fast): engages
+    # exactly once the survival delay passes, and the trajectory matches
+    # the pure per-epoch kernel path
+    old = (Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS, Trainer.WHOLE_FIT_AUTO_DELAY)
+    Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS = 3
+    Trainer.WHOLE_FIT_AUTO_DELAY = 2
+    try:
+        _, tr_a, vls_a = _fit_traj(tmp_path, 'auto', 'a2', epochs=8)
+        _, tr_e, vls_e = _fit_traj(tmp_path, False, 'a3', epochs=8)
+        assert tr_a.whole_fit_dispatches == 1
+        assert tr_a.fused_epochs_used == 8
+        np.testing.assert_allclose(vls_a, vls_e, rtol=0, atol=1e-6)
+    finally:
+        (Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS,
+         Trainer.WHOLE_FIT_AUTO_DELAY) = old

@@ -427,11 +427,9 @@ def main():
         batch, torch_batch, warmup, trials = 262144, 16384, 5, 10
     if args.batch:
         batch = args.batch
-    if args.precision and args.precision != '32-true':
-        # the fused Pallas eval kernels run f32 internally; measure the
-        # XLA path so the numbers match the precision label
-        import os
-        os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
+    # (bf16-mixed now flows through the fused eval kernel natively: bf16
+    # GEMM operands on the MXU, f32 accumulation/bias/UE statistics — no
+    # need to fall back to the XLA path for an honest precision label)
 
     if args.workload in ('ensemble_train_epoch', 'mcd_train_epoch'):
         # the BO-trial hot loop: a whole small-batch epoch.  Time the fused

@@ -123,12 +123,16 @@ def _check_widths(folded, out_dim):
     return True
 
 
-def _pad_folded(folded, num_members):
+def _pad_folded(folded, num_members, compute_dtype=jnp.float32):
+    """Pad the folded chain to MXU tiles.  Weights are stored in
+    ``compute_dtype`` (bf16 puts the GEMM operands on the MXU fast path);
+    biases stay f32 — the bias add rides the f32 accumulator."""
     ws, bs, relus = [], [], []
     for w, b, relu in folded:
         in_pad = _round_up(w.shape[-2], 128)
-        w_p = jnp.zeros((num_members, in_pad, 128), jnp.float32)
-        w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(w.astype(jnp.float32))
+        w_p = jnp.zeros((num_members, in_pad, 128), compute_dtype)
+        w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(
+            w.astype(compute_dtype))
         b_p = jnp.zeros((num_members, 128), jnp.float32)
         b_p = b_p.at[:, :b.shape[-1]].set(b.astype(jnp.float32))
         ws.append(w_p)
@@ -138,8 +142,9 @@ def _pad_folded(folded, num_members):
 
 
 def _fits_vmem(ws, bs, tile, dpad) -> bool:
-    weight_bytes = sum(int(np.prod(w.shape)) * 4 for w in ws) + \
-        sum(int(np.prod(b.shape)) * 4 for b in bs)
+    weight_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
+                       for w in ws) + \
+        sum(int(np.prod(b.shape)) * b.dtype.itemsize for b in bs)
     # x tile + a few live activation/accumulator buffers
     work_bytes = tile * dpad * 4 + 6 * tile * 128 * 4
     return weight_bytes + work_bytes <= _VMEM_BUDGET
@@ -167,21 +172,26 @@ def _shifted_stats(s1, s2, c, n):
 # ---------------------------------------------------------------------------
 # fused ensemble evaluation
 # ---------------------------------------------------------------------------
-def _fused_kernel(x_ref, *refs, num_members, num_layers, relus):
+def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
+                  compute_dtype='float32'):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers:2 * num_layers]
     mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
 
-    x = x_ref[:]                                     # (TILE, d_pad)
+    cdt = jnp.dtype(compute_dtype)
+    x = x_ref[:].astype(cdt)                         # (TILE, d_pad)
 
     def member_forward(m):
         h = x
         for l in range(num_layers):
+            # GEMM operands in the compute dtype (bf16 → MXU fast path),
+            # accumulation + bias + ReLU in f32
             h = jnp.dot(h, w_refs[l][m], preferred_element_type=jnp.float32)
             h = h + b_refs[l][m]
             if relus[l]:
                 h = jnp.maximum(h, 0.0)
-            h = h.astype(x.dtype)
+            if l + 1 < num_layers:
+                h = h.astype(cdt)
         return h.astype(jnp.float32)
 
     c = member_forward(0)                            # shift reference
@@ -197,8 +207,10 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus):
 
 
 @functools.partial(jax.jit, static_argnames=('num_members', 'relus',
-                                             'out_dim', 'tile'))
-def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile):
+                                             'out_dim', 'tile',
+                                             'compute_dtype'))
+def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
+                   compute_dtype='float32'):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -217,7 +229,7 @@ def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile):
 
     kernel = functools.partial(
         _fused_kernel, num_members=num_members, num_layers=num_layers,
-        relus=relus)
+        relus=relus, compute_dtype=compute_dtype)
 
     mean, std = pl.pallas_call(
         kernel,
@@ -238,7 +250,8 @@ class FusedCache:
     params *and* state pytree objects they were derived from."""
 
     def __init__(self, folded, src_params, src_state=None, ws=None, bs=None,
-                 relus=None, num_members=0, out_dim=1, dpad=128):
+                 relus=None, num_members=0, out_dim=1, dpad=128,
+                 compute_dtype='float32'):
         self.folded = folded
         self.src_params = src_params
         self.src_state = src_state
@@ -248,13 +261,16 @@ class FusedCache:
         self.num_members = num_members
         self.out_dim = out_dim
         self.dpad = dpad
+        self.compute_dtype = compute_dtype
 
     def stale_for(self, params, state) -> bool:
         return self.src_params is not params or self.src_state is not state
 
 
 def prepare_fused_weights(net, params, state) -> FusedCache:
-    """Fold + pad once per parameter/state version (host-side)."""
+    """Fold + pad once per parameter/state version (host-side).  Honors the
+    net's bf16-mixed compute dtype: the folded GEMM operands are stored
+    bf16 (accumulation, bias, ReLU and the UE statistics stay f32)."""
     folded = fold_ensemble_params(net, params, state)
     if folded is None:
         return FusedCache(False, params, state)
@@ -262,13 +278,15 @@ def prepare_fused_weights(net, params, state) -> FusedCache:
     out_dim = folded[-1][0].shape[-1]
     if not _check_widths(folded, out_dim):
         return FusedCache(False, params, state)
-    ws, bs, relus = _pad_folded(folded, num_members)
+    cdt = jnp.dtype(getattr(net, 'compute_dtype', None) or jnp.float32)
+    ws, bs, relus = _pad_folded(folded, num_members, compute_dtype=cdt)
     if not _fits_vmem(ws, bs, 512, ws[0].shape[1]):
         return FusedCache(False, params, state)
     ws = [jax.device_put(w) for w in ws]
     bs = [jax.device_put(b) for b in bs]
     return FusedCache(True, params, state, tuple(ws), tuple(bs),
-                      tuple(relus), num_members, out_dim, ws[0].shape[1])
+                      tuple(relus), num_members, out_dim, ws[0].shape[1],
+                      compute_dtype=cdt.name)
 
 
 def fused_forward_prefolded(cache: FusedCache, x):
@@ -279,7 +297,8 @@ def fused_forward_prefolded(cache: FusedCache, x):
     x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
     x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
     mean, std = _fused_forward(x_p, cache.ws, cache.bs, cache.num_members,
-                               cache.relus, cache.out_dim, tile)
+                               cache.relus, cache.out_dim, tile,
+                               compute_dtype=cache.compute_dtype)
     return mean[:b], std[:b]
 
 

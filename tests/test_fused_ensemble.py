@@ -143,3 +143,20 @@ def test_mc_fold_extracts_dropout_positions():
     # dropout is inserted before *middle* Linears only (the last
     # Linear is excluded by the builder's rewrite rule)
     assert drops == [0.0, 0.25, 0.0]
+
+
+def test_prepare_honors_bf16_compute_dtype(model):
+    """bf16-mixed folds the GEMM operands to bf16 (MXU fast path) while
+    biases — which ride the f32 accumulator — stay f32."""
+    from nnueehcs_tpu.ops.fused_ensemble import prepare_fused_weights
+    model.set_precision('bf16-mixed')
+    cache = prepare_fused_weights(model.net, model.params, model.state)
+    assert cache.folded
+    assert cache.compute_dtype == 'bfloat16'
+    assert all(w.dtype == jnp.bfloat16 for w in cache.ws)
+    assert all(b.dtype == jnp.float32 for b in cache.bs)
+    # f32 default unchanged
+    model.set_precision('32-true')
+    cache32 = prepare_fused_weights(model.net, model.params, model.state)
+    assert cache32.compute_dtype == 'float32'
+    assert all(w.dtype == jnp.float32 for w in cache32.ws)

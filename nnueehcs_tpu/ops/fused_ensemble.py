@@ -317,7 +317,7 @@ def fused_ensemble_eval(net, params, state, x, tile: int = 512):
 # generated in-kernel with the TPU PRNG, sample loop on-chip
 # ---------------------------------------------------------------------------
 def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
-                     relus, keeps):
+                     relus, keeps, compute_dtype='float32'):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -328,6 +328,7 @@ def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0, 0] + i)
 
+    cdt = jnp.dtype(compute_dtype)
     x = x_ref[:]
 
     def forward(with_dropout):
@@ -336,7 +337,9 @@ def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
             if with_dropout and keeps[l] is not None:
                 # uniform in [0,1) from the top 24 bits (explicitly
                 # unsigned — a raw uint32 threshold compare lowers signed
-                # and biases the drop rate), keep-mask scaled by 1/keep
+                # and biases the drop rate), keep-mask scaled by 1/keep;
+                # mask math stays f32 (exact keep probability) — only the
+                # GEMM operands drop to the compute dtype
                 keep = keeps[l]
                 bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape),
                                      jnp.uint32)
@@ -344,7 +347,7 @@ def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
                 u = pltpu.bitcast(u24, jnp.int32).astype(jnp.float32) \
                     * (1.0 / (1 << 24))
                 h = h * ((u < keep).astype(jnp.float32) * (1.0 / keep))
-            h = jnp.dot(h, w_refs[l][0],
+            h = jnp.dot(h.astype(cdt), w_refs[l][0],
                         preferred_element_type=jnp.float32)
             h = h + b_refs[l][0]
             if relus[l]:
@@ -367,9 +370,10 @@ def _fused_mc_kernel(seed_ref, x_ref, *refs, num_samples, num_layers,
 
 
 @functools.partial(jax.jit, static_argnames=('num_samples', 'relus',
-                                             'keeps', 'out_dim', 'tile'))
+                                             'keeps', 'out_dim', 'tile',
+                                             'compute_dtype'))
 def _fused_mc_forward(x_pad, seed, ws, bs, num_samples, relus, keeps,
-                      out_dim, tile):
+                      out_dim, tile, compute_dtype='float32'):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -390,7 +394,7 @@ def _fused_mc_forward(x_pad, seed, ws, bs, num_samples, relus, keeps,
 
     kernel = functools.partial(
         _fused_mc_kernel, num_samples=num_samples, num_layers=num_layers,
-        relus=relus, keeps=keeps)
+        relus=relus, keeps=keeps, compute_dtype=compute_dtype)
 
     mean, std = pl.pallas_call(
         kernel,
@@ -422,7 +426,8 @@ def fused_mc_dropout_eval(net, params, state, x, num_samples: int,
     out_dim = folded[-1][0].shape[-1]
     if not _check_widths(folded, out_dim):
         return None
-    ws, bs, relus = _pad_folded(folded, 1)
+    cdt = jnp.dtype(getattr(net, 'compute_dtype', None) or jnp.float32)
+    ws, bs, relus = _pad_folded(folded, 1, compute_dtype=cdt)
     b_rows = x.shape[0]
     bpad, tile = _plan_rows(max(b_rows, 1))
     dpad = ws[0].shape[1]
@@ -436,5 +441,5 @@ def fused_mc_dropout_eval(net, params, state, x, num_samples: int,
 
     mean, std = _fused_mc_forward(x_p, seed_arr, tuple(ws), tuple(bs),
                                   num_samples, tuple(relus), keeps,
-                                  out_dim, tile)
+                                  out_dim, tile, compute_dtype=cdt.name)
     return mean[:b_rows], std[:b_rows]

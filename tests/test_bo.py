@@ -59,6 +59,7 @@ def test_client_lifecycle(tmp_path):
     assert idx2 == 2
 
 
+@pytest.mark.slow
 def test_bo_minimizes_toy_function():
     """GP-EI should clearly beat the Sobol phase on a smooth bowl."""
     space = [{'name': 'x', 'type': 'range', 'bounds': [-5.0, 5.0]},
@@ -221,6 +222,7 @@ def _run_multi_objective(seed, budget, sobol_only):
     return _hv2d(front, ref=(1.1, 2.1))
 
 
+@pytest.mark.slow
 def test_engine_beats_sobol_multi_objective():
     seeds = (0, 1, 2)
     budget = 28
@@ -244,6 +246,7 @@ def test_unparseable_outcome_constraint_raises():
             outcome_constraints=['g <= 2*h'])
 
 
+@pytest.mark.slow
 def test_outcome_constraint_steers_suggestions_and_pareto():
     """Minimise (x-0.2)^2 subject to g = x >= 0.5: the constrained optimum
     is x = 0.5.  The engine must (a) respect feasibility in the returned

@@ -55,6 +55,7 @@ def test_cnn_trains(image_data):
     assert np.isfinite(tr.callback_metrics['val_loss'])
 
 
+@pytest.mark.slow
 def test_cnn_ensemble_ue(image_data):
     x, y = image_data
     model = EnsembleModelBuilder(CNN_DESCR, {'num_models': 3},
@@ -69,6 +70,7 @@ def test_cnn_ensemble_ue(image_data):
     assert float(np.asarray(ue).mean()) > 0
 
 
+@pytest.mark.slow
 def test_cnn_delta_uq_channel_anchoring(image_data):
     """ΔUQ on a Conv2d-first net: the builder doubles in_channels and the
     anchored input concatenates along the CHANNEL axis (VERDICT r1 #5 —

@@ -14,6 +14,9 @@ import numpy as np
 import optax
 import pytest
 
+# interpret-mode Pallas kernel sweeps: multi-minute on CPU
+pytestmark = pytest.mark.slow
+
 from nnueehcs_tpu.model_builder import EnsembleModelBuilder
 from nnueehcs_tpu.ops import fused_train as ft
 

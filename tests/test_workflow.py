@@ -62,6 +62,7 @@ def grid_config(tmp_path_factory):
     return str(cfg_path), tmp
 
 
+@pytest.mark.slow
 def test_workflow_driver_runs_grid(grid_config):
     cfg_path, tmp = grid_config
     out = str(tmp / 'results')
@@ -69,7 +70,7 @@ def test_workflow_driver_runs_grid(grid_config):
     proc = subprocess.run(
         [sys.executable, str(DRIVER), '--config', cfg_path, '--output', out,
          '--rundir', rundir, '--platform', 'cpu'],
-        capture_output=True, text=True, timeout=600)
+        capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     # both dataset-split cells completed with the full on-disk contract
     for dset in ('tails', 'gaps'):
@@ -95,6 +96,7 @@ def test_workflow_driver_sbatch_emission(grid_config):
     assert '--restart' in body
 
 
+@pytest.mark.slow
 def test_mesh_workflow_driver_concurrent_slices(grid_config):
     """Concurrent cells on disjoint slices of the virtual 8-device CPU
     mesh (the TPU-native replacement for one-GPU-per-SLURM-task)."""
@@ -107,13 +109,14 @@ def test_mesh_workflow_driver_concurrent_slices(grid_config):
     proc = subprocess.run(
         [sys.executable, str(driver), '--config', cfg_path, '--output', out,
          '--slices', '2', '--retries', '0'],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     for dset in ('tails', 'gaps'):
         tdir = Path(out) / 'minibude' / dset / 'ensemble' / 'bo_trial_0'
         assert (tdir / 'trial_results.csv').exists(), dset
 
 
+@pytest.mark.slow
 def test_metric_eval_driver_combines(grid_config):
     """E6: per-(benchmark, dataset) metric-eval fan-out with subprocess
     isolation, --skip-completed resume, and the combined tidy CSV."""
@@ -126,7 +129,7 @@ def test_metric_eval_driver_combines(grid_config):
         [sys.executable, str(bo), '--benchmark', 'minibude', '--uq_method',
          'ensemble', '--config', cfg_path, '--dataset', 'tails',
          '--output', out, '--platform', 'cpu'],
-        capture_output=True, text=True, timeout=600)
+        capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
     driver = REPO / 'examples' / 'metric_evaluation' / 'metric_eval_driver.py'
@@ -137,7 +140,7 @@ def test_metric_eval_driver_combines(grid_config):
         [sys.executable, str(driver), '--results_dir', out,
          '--config_file', cfg_path, '--output', combined,
          '--rundir', rundir, '--max_tasks', '1'],
-        capture_output=True, text=True, timeout=600, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     df = pd.read_csv(combined)
     assert set(df.columns) == {'benchmark', 'dataset', 'method', 'trial',
@@ -150,6 +153,6 @@ def test_metric_eval_driver_combines(grid_config):
         [sys.executable, str(driver), '--results_dir', out,
          '--config_file', cfg_path, '--output', combined,
          '--rundir', rundir, '--max_tasks', '1', '--skip-completed'],
-        capture_output=True, text=True, timeout=300, env=env)
+        capture_output=True, text=True, timeout=900, env=env)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert 'Skipping completed' in proc.stdout

@@ -80,9 +80,14 @@ def classify_trial_models(method_dir: Path, ds_id, ds_ood, threshold,
 @click.option('--output', type=click.Path(), help='Path to output directory')
 @click.option('--percentile', '-p', type=float, default=0.8,
               help='Percentile score threshold for ID/OOD split.')
+@click.option('--platform', default=None,
+              help="Pin the JAX platform (e.g. 'cpu')")
 @click.option('--ue_dist_column', default='percentile_score',
               help='trial_results.csv column to correlate sensitivity with')
-def main(input, config, output, percentile, ue_dist_column):
+def main(input, config, output, percentile, ue_dist_column, platform):
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     indir = Path(input)
     output = Path(output)
     output.mkdir(parents=True, exist_ok=True)

@@ -188,8 +188,15 @@ def process_benchmark_dataset(composite, config, benchmark, dataset,
               help='The output file name')
 @click.option('--evaluate_all', is_flag=True,
               help='Evaluate all models instead of just the best one')
+@click.option('--platform', default=None,
+              help="Pin the JAX platform (e.g. 'cpu'); needed where site "
+                   "hooks pre-register an accelerator and ignore "
+                   "JAX_PLATFORMS")
 def evaluate_metrics(results_dir, config_file, benchmark, dataset, method,
-                     output, evaluate_all):
+                     output, evaluate_all, platform):
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     composite = ResultsComposite(results_dir)
     with open(config_file) as f:
         config = yaml.safe_load(f)

@@ -22,12 +22,14 @@ from nnueehcs_tpu.utility import ResultsComposite
 
 
 def run_evaluate_metrics(results_dir, config_file, benchmark, dataset,
-                         outfile, rundir):
+                         outfile, rundir, platform=None):
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           'evaluate_metrics.py')
     cmd = [sys.executable, script, '--results_dir', results_dir,
            '--config_file', config_file, '--benchmark', benchmark,
            '--dataset', dataset, '--output', outfile]
+    if platform:
+        cmd += ['--platform', platform]
     os.makedirs(rundir, exist_ok=True)
     log = os.path.join(rundir, f'{benchmark}_{dataset}')
     with open(f'{log}.out', 'w') as out, open(f'{log}.err', 'w') as err:
@@ -60,8 +62,10 @@ def combine_results(task_results, output):
 @click.option('--max_tasks', default=2, type=int)
 @click.option('--skip-completed', 'skip_completed', is_flag=True,
               default=False)
+@click.option('--platform', default=None,
+              help="Pin the fanned-out tasks' JAX platform (e.g. 'cpu')")
 def main(results_dir, config_file, output, rundir, local, max_tasks,
-         skip_completed):
+         skip_completed, platform):
     composite = ResultsComposite(results_dir)
     pairs = []
     for bench in composite.get_benchmark_names():
@@ -83,7 +87,7 @@ def main(results_dir, config_file, output, rundir, local, max_tasks,
     results = [t for t in tasks if t[3] == 0]
     with ThreadPoolExecutor(max_workers=max_tasks) as pool:
         futures = [pool.submit(run_evaluate_metrics, results_dir, config_file,
-                               b, d, o, rundir)
+                               b, d, o, rundir, platform)
                    for b, d, o, _ in to_run]
         for fut in futures:
             results.append(fut.result())

@@ -758,3 +758,56 @@ def test_whole_fit_auto_heuristic(tmp_path):
     finally:
         (Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS,
          Trainer.WHOLE_FIT_AUTO_DELAY) = old
+
+
+@pytest.mark.parametrize('family', ['delta_uq', 'pager', 'mve'])
+def test_whole_fit_all_hooked_families(tmp_path, family):
+    """Whole-fit through the anchor-capturing (ΔUQ/PAGER) and NLL (MVE)
+    families: epoch 0 stays on the scan path for the batch hooks, the
+    remaining epochs run as one dispatch, and the val trajectory matches
+    the per-epoch kernel path exactly (incl. ΔUQ's capped validation)."""
+    import csv
+    from nnueehcs_tpu.model_builder import (DeltaUQMLPModelBuilder,
+                                            PAGERModelBuilder,
+                                            MVEModelBuilder)
+    from nnueehcs_tpu.training import (Trainer, DataLoader, ArrayDataset,
+                                       EarlyStopping, ModelSavingCallback)
+    builders = {
+        'delta_uq': (DeltaUQMLPModelBuilder,
+                     {'estimator': 'std', 'num_anchors': 8,
+                      'val_num_anchors': 4}),
+        'pager': (PAGERModelBuilder, {'estimator': 'std', 'num_anchors': 8}),
+        'mve': (MVEModelBuilder, {'min_variance': 1e-6}),
+    }
+    builder, kw = builders[family]
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(96, 5)).astype(np.float32)
+    y = x.sum(1, keepdims=True).astype(np.float32)
+    descr = [{'Linear': {'args': [5, 16]}}, {'BatchNorm1d': {'args': [16]}},
+             {'ReLU': {}}, {'Linear': {'args': [16, 1]}}]
+
+    def fit(whole, version):
+        m = builder(descr, dict(kw), train_config={'loss': 'l1_loss'}).build()
+        tr = Trainer('t/wf_fam', {'accelerator': 'cpu', 'max_epochs': 5,
+                                  'gradient_clip_val': 5.0, 'seed': 7,
+                                  'fused_epochs': 'force',
+                                  'whole_fit': whole},
+                     callbacks=m.get_callbacks() + [
+                         EarlyStopping(patience=100),
+                         ModelSavingCallback(defer_serialization=True)],
+                     log_dir=str(tmp_path), version=version)
+        tr.fit(m, DataLoader(ArrayDataset(x, y), 16, shuffle=True,
+                             drop_last=True),
+               DataLoader(ArrayDataset(x, y), 16))
+        vls = []
+        with open(f'{tr.logger.log_dir}/metrics.csv') as f:
+            for row in csv.DictReader(f):
+                if row.get('val_loss'):
+                    vls.append(float(row['val_loss']))
+        return tr, vls
+
+    tr_w, vls_w = fit(True, f'w_{family}')
+    tr_e, vls_e = fit(False, f'e_{family}')
+    assert tr_w.whole_fit_dispatches == 1
+    assert tr_e.whole_fit_dispatches == 0
+    np.testing.assert_allclose(vls_w, vls_e, rtol=0, atol=1e-6)

@@ -110,6 +110,28 @@ class DeltaUQMLP(WrappedModelBase):
     # The reference never hits this because the external package loops
     # anchors one at a time (at proportional wall-clock cost).
     anchor_rows_budget = 1 << 20
+    # floor for the anchored_batch_size-derived budget (see _rows_budget)
+    MIN_ROWS_BUDGET = 1 << 16
+
+    def _rows_budget(self):
+        """In-flight anchored-row bound for the grouped eval scan.
+
+        The reference's ``anchored_batch_size`` chunks the eval batch on
+        the *host* (reference ``models.py:313-341``) — each chunk is a
+        cheap CUDA relaunch there, so it is purely a GPU-memory bound.
+        On a tunneled TPU every host chunk costs a full dispatch RTT
+        (~33 ms): chunking a 16.7 M-row pass by ``anchored_batch_size =
+        229`` means ~73,000 dispatches ≈ 40 min *per pass* — observed
+        live in the round-3 grid.  The bound therefore moves INSIDE the
+        compiled program: the grouped anchor scan keeps at most
+        ``min(anchor_rows_budget, max(num_anchors × anchored_batch_size,
+        MIN_ROWS_BUDGET))`` anchored rows in flight, preserving the
+        parameter's memory intent at one dispatch per batch bucket."""
+        if self.batch_size == sys.maxsize:
+            return self.anchor_rows_budget
+        return min(self.anchor_rows_budget,
+                   max(self.num_anchors * self.batch_size,
+                       self.MIN_ROWS_BUDGET))
 
     def _anchored_stats(self, params, state, x, anchors, n_anchors):
         """Mean/std over ``n_anchors`` anchored passes, vmapped over the
@@ -127,7 +149,7 @@ class DeltaUQMLP(WrappedModelBase):
 
         A = anchors[:n_anchors]
         k = A.shape[0]                   # may be < n_anchors (few anchors)
-        g = max(1, min(k, self.anchor_rows_budget // max(B, 1)))
+        g = max(1, min(k, self._rows_budget() // max(B, 1)))
         if g >= k:
             preds = group_preds(A)
             mean = preds.mean(0)
@@ -217,19 +239,10 @@ class DeltaUQMLP(WrappedModelBase):
         mean, _ = self._anchored_stats(params, state, x, buffers[0], n)
         return self.loss(mean, y)
 
-    # --------------------------------------------------------------- chunking
-    def __call__(self, x, return_ue: bool = False):
-        x = jnp.asarray(x)
-        if x.ndim > 1 and x.shape[0] > self.batch_size:
-            outputs = []
-            for i in range(0, x.shape[0], self.batch_size):
-                outputs.append(super().__call__(x[i:i + self.batch_size],
-                                                return_ue=return_ue))
-            if isinstance(outputs[0], tuple):
-                return tuple(jnp.concatenate([o[i] for o in outputs], axis=0)
-                             for i in range(len(outputs[0])))
-            return jnp.concatenate(outputs, axis=0)
-        return super().__call__(x, return_ue=return_ue)
+    # ------------------------------------------------------------- chunking
+    # NOTE: no host-level chunking by ``anchored_batch_size`` here — its
+    # memory bound is enforced inside the compiled program (_rows_budget);
+    # the base class's bucket chunking alone bounds the batch axis.
 
     # ----------------------------------------------------------- checkpointing
     def config_dict(self):

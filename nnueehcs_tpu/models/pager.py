@@ -63,7 +63,7 @@ class PAGERMLP(DeltaUQMLP):
             return y                                   # (A, out)
 
         B, A = x.shape[0], anchors_X.shape[0]
-        g = max(1, min(B, self.anchor_rows_budget // max(A, 1)))
+        g = max(1, min(B, self._rows_budget() // max(A, 1)))
         if g >= B:
             p = jax.vmap(anchored_at_sample)(x)        # (B, A, out)
             return p[..., 0] if p.ndim == 3 else p

@@ -268,3 +268,60 @@ class TestValNumAnchorsCap:
         m2 = self._model(val_num_anchors=None)
         assert m2.val_num_anchors is None
         assert m2.config_dict()['val_num_anchors'] is None
+
+
+# ---------------------------------------------------------------------------
+# anchored_batch_size: a memory bound enforced INSIDE the compiled program
+# (observed live: host-chunking a 16.7M-row pass by 229 rows = ~73k tunnel
+# dispatches = ~40 min/pass; see DeltaUQMLP._rows_budget)
+# ---------------------------------------------------------------------------
+class TestAnchoredBatchSizeBudget:
+    def test_rows_budget_arithmetic(self):
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'num_anchors': 229, 'anchored_batch_size': 229}).build()
+        assert m._rows_budget() == max(229 * 229, m.MIN_ROWS_BUDGET)
+        m2 = DeltaUQMLPModelBuilder(
+            DESCR, {'num_anchors': 500,
+                    'anchored_batch_size': 131072}).build()
+        assert m2._rows_budget() == m2.anchor_rows_budget   # capped above
+        m3 = DeltaUQMLPModelBuilder(DESCR, {'num_anchors': 10}).build()
+        assert m3._rows_budget() == m3.anchor_rows_budget   # unset -> full
+
+    def test_results_identical_across_anchored_batch_size(self):
+        x, _ = _data(96)
+        base = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 12}).build()
+        anchors = np.random.default_rng(9).normal(size=(12, 4)).astype(
+            np.float32)
+        base.anchors = anchors
+        ref_mean, ref_std = base(x, return_ue=True)
+        for abs_ in (64, 229, 131072):
+            m = DeltaUQMLPModelBuilder(
+                DESCR, {'estimator': 'std', 'num_anchors': 12,
+                        'anchored_batch_size': abs_}).build()
+            m.params, m.state = base.params, base.state
+            m.anchors = anchors
+            mean, std = m(x, return_ue=True)
+            np.testing.assert_allclose(np.asarray(mean),
+                                       np.asarray(ref_mean),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(std), np.asarray(ref_std),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_pager_budget_respected(self):
+        x, _ = _data(40)
+        rng = np.random.default_rng(2)
+        base = PAGERModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 6}).build()
+        base.anchors = rng.normal(size=(6, 4)).astype(np.float32)
+        base.anchors_Y = rng.normal(size=(6, 1)).astype(np.float32)
+        _, ue_ref = base(x, return_ue=True)
+        m = PAGERModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 6,
+                    'anchored_batch_size': 64}).build()
+        m.params, m.state = base.params, base.state
+        m.anchors = base.anchors
+        m.anchors_Y = base.anchors_Y
+        _, ue = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(ue), np.asarray(ue_ref),
+                                   rtol=1e-5, atol=1e-6)

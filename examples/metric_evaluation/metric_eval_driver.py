@@ -64,11 +64,19 @@ def combine_results(task_results, output):
               default=False)
 @click.option('--platform', default=None,
               help="Pin the fanned-out tasks' JAX platform (e.g. 'cpu')")
+@click.option('--benchmarks', default=None,
+              help='Comma-separated benchmark allowlist. Use when one '
+                   'results tree mixes cells from different configs (e.g. '
+                   'config_kde trains unscaled): fan each subset out with '
+                   'the config it was trained under.')
 def main(results_dir, config_file, output, rundir, local, max_tasks,
-         skip_completed, platform):
+         skip_completed, platform, benchmarks):
     composite = ResultsComposite(results_dir)
+    allow = set(benchmarks.split(',')) if benchmarks else None
     pairs = []
     for bench in composite.get_benchmark_names():
+        if allow is not None and bench not in allow:
+            continue
         for dset in composite.get_dataset_names(bench):
             pairs.append((bench, dset))
 

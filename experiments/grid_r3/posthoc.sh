@@ -14,12 +14,31 @@ G=experiments/grid_r3
 mkdir -p "$G/artifacts"
 
 # E5/E6: metric re-evaluation of the Pareto-best models, one subprocess
-# per (benchmark, dataset) — sequential (--max_tasks 1): one chip
+# per (benchmark, dataset) — sequential (--max_tasks 1): one chip.
+# Two passes because the tree mixes configs: minibude cells trained under
+# config_kde (scaling: false), so their eval datasets must be rebuilt with
+# that config; everything else under config_full.
+python examples/metric_evaluation/metric_eval_driver.py \
+    --results_dir "$R/results" \
+    --config_file examples/bo_driven/config_kde.yaml \
+    --benchmarks minibude \
+    --output "$G/artifacts/evaluated_metrics_kde.csv" \
+    --rundir "$G/metric_eval_rundir" --max_tasks 1 --skip-completed
 python examples/metric_evaluation/metric_eval_driver.py \
     --results_dir "$R/results" \
     --config_file examples/bo_driven/config_full.yaml \
-    --output "$G/artifacts/evaluated_metrics_combined.csv" \
+    --benchmarks binomial_options,airfoil \
+    --output "$G/artifacts/evaluated_metrics_full.csv" \
     --rundir "$G/metric_eval_rundir" --max_tasks 1 --skip-completed
+python - <<'EOF'
+import pandas as pd
+a = 'experiments/grid_r3/artifacts/'
+pd.concat([pd.read_csv(a + 'evaluated_metrics_kde.csv'),
+           pd.read_csv(a + 'evaluated_metrics_full.csv')],
+          ignore_index=True).to_csv(
+    a + 'evaluated_metrics_combined.csv', index=False)
+print('combined ->', a + 'evaluated_metrics_combined.csv')
+EOF
 
 # E8: cross-method collation (summary.csv + comparison plots) — CPU only
 python examples/bo_driven/collate.py \

@@ -116,6 +116,39 @@ def test_mesh_workflow_driver_concurrent_slices(grid_config):
         assert (tdir / 'trial_results.csv').exists(), dset
 
 
+def test_metric_eval_driver_benchmark_filter(tmp_path, monkeypatch):
+    """--benchmarks restricts the fan-out so a mixed-config results tree
+    (e.g. minibude cells trained under config_kde's scaling: false) can be
+    evaluated in per-config passes."""
+    import importlib.util
+    from click.testing import CliRunner
+
+    for bench in ('minibude', 'binomial_options'):
+        for dset in ('tails', 'gaps'):
+            (tmp_path / bench / dset / 'kde').mkdir(parents=True)
+
+    spec = importlib.util.spec_from_file_location(
+        'me_driver', REPO / 'examples' / 'metric_evaluation'
+        / 'metric_eval_driver.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ran = []
+    monkeypatch.setattr(
+        mod, 'run_evaluate_metrics',
+        lambda results_dir, config_file, b, d, o, rundir, platform=None:
+            (ran.append((b, d)), (b, d, o, 1))[1])
+    cfg = tmp_path / 'cfg.yaml'
+    cfg.write_text('{}')
+    res = CliRunner().invoke(mod.main, [
+        '--results_dir', str(tmp_path), '--config_file', str(cfg),
+        '--output', str(tmp_path / 'out.csv'),
+        '--rundir', str(tmp_path / 'rundir'),
+        '--benchmarks', 'minibude'])
+    assert res.exit_code == 0, res.output
+    assert sorted(ran) == [('minibude', 'gaps'), ('minibude', 'tails')]
+
+
 @pytest.mark.slow
 def test_metric_eval_driver_combines(grid_config):
     """E6: per-(benchmark, dataset) metric-eval fan-out with subprocess

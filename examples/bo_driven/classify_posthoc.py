@@ -84,7 +84,11 @@ def classify_trial_models(method_dir: Path, ds_id, ds_ood, threshold,
               help="Pin the JAX platform (e.g. 'cpu')")
 @click.option('--ue_dist_column', default='percentile_score',
               help='trial_results.csv column to correlate sensitivity with')
-def main(input, config, output, percentile, ue_dist_column, platform):
+@click.option('--benchmarks', default=None,
+              help='Comma-separated benchmark allowlist (classify a subset '
+                   'of a large tree, e.g. to split the pass across hosts)')
+def main(input, config, output, percentile, ue_dist_column, platform,
+         benchmarks):
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
@@ -94,6 +98,7 @@ def main(input, config, output, percentile, ue_dist_column, platform):
     with open(config) as f:
         config = yaml.safe_load(f)
 
+    allow = set(benchmarks.split(',')) if benchmarks else None
     frames = []
     dataset_cache = {}
     for method_dir in sorted(indir.glob('*/*/*')):
@@ -101,6 +106,8 @@ def main(input, config, output, percentile, ue_dist_column, platform):
             continue
         bench, dset, method = method_dir.parts[-3:]
         if bench not in config['benchmarks']:
+            continue
+        if allow is not None and bench not in allow:
             continue
         if (bench, dset) not in dataset_cache:
             ds_cfg = config['benchmarks'][bench]['datasets']

@@ -44,9 +44,13 @@ EOF
 python examples/bo_driven/collate.py \
     --input "$R/results" --output "$G/artifacts/collate"
 
-# E7: per-trial ID/OOD classification of every saved model (on chip)
+# E7: per-trial ID/OOD classification of every saved model.  The
+# minibude/airfoil passes are precomputed on CPU while the grid holds the
+# chip (run_classify_cpu.sh); the chip window only classifies the large
+# binomial_options models.
 python examples/bo_driven/classify_posthoc.py \
     --input "$R/results" --config examples/bo_driven/config_full.yaml \
+    --benchmarks binomial_options \
     --output "$G/artifacts/classify" -p 0.8
 
 echo "round-3 post-hoc artifacts in $G/artifacts"

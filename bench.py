@@ -24,6 +24,10 @@ import numpy as np
 
 # flagship arch MAC count per row per member: 5·128 + 5·(128·128) + 128·1
 _MACS_PER_ROW_PER_MEMBER = 128 * (5 + 5 * 128 + 1)
+# delta_uq doubles the input (x-a, a): per anchored row the first Linear
+# sees 10 features
+_DUQ_ANCHORS = 229
+_MACS_PER_ANCHORED_ROW = 128 * (10 + 5 * 128 + 1)
 _V5E_BF16_PEAK_FLOPS = 197e12
 
 # timing repetitions: each rep is one bracketed group of dispatches; the
@@ -105,6 +109,18 @@ def _build_model(workload: str, num_models: int, precision=None):
         model = MCDropoutModelBuilder(
             arch, {'num_samples': 128, 'dropout_percent': 0.1},
             train_config={'loss': 'l1_loss'}).build()
+    elif workload == 'delta_uq':
+        # the grid's cost driver: anchored eval at the live-trial draw
+        # (num_anchors=229, bo_trial_1 of the round-3 delta_uq cell);
+        # reports anchored-row throughput so the protocol cost math in
+        # EXPERIMENTS.md is pinned to a measured number
+        from nnueehcs_tpu.model_builder import DeltaUQMLPModelBuilder
+        model = DeltaUQMLPModelBuilder(
+            arch, {'estimator': 'std', 'num_anchors': _DUQ_ANCHORS,
+                   'anchored_batch_size': _DUQ_ANCHORS},
+            train_config={'loss': 'l1_loss'}).build()
+        model.anchors = np.random.default_rng(2).normal(
+            size=(_DUQ_ANCHORS, 5)).astype(np.float32)
     elif workload == 'kde':
         model = KDEModelBuilder(arch, {'rtol': 1000},
                                 train_config={'loss': 'l1_loss'}).build()
@@ -285,7 +301,7 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
-    if workload in ('ensemble', 'mc_dropout'):
+    if workload in ('ensemble', 'mc_dropout', 'delta_uq'):
         # the real user path (model.__call__) so the fused VMEM-resident
         # kernels engage; input stays device-resident
         def fn(p, s, xx):
@@ -411,7 +427,7 @@ def main():
     ap.add_argument('--num-models', type=int, default=8)
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--workload', default='ensemble',
-                    choices=['ensemble', 'mc_dropout', 'kde',
+                    choices=['ensemble', 'mc_dropout', 'kde', 'delta_uq',
                              'ensemble_train', 'ensemble_train_epoch',
                              'mcd_train_epoch'],
                     help='which UQ workload to benchmark (headline: ensemble)')
@@ -494,9 +510,15 @@ def main():
     flops_per_row = 2 * _MACS_PER_ROW_PER_MEMBER * args.num_models
     if args.workload == 'ensemble_train':
         flops_per_row *= 3
+    elif args.workload == 'delta_uq':
+        flops_per_row = 2 * _MACS_PER_ANCHORED_ROW * _DUQ_ANCHORS
     mfu = tpu_tp * flops_per_row / _V5E_BF16_PEAK_FLOPS
     mfu_note = (f' mfu={100 * mfu:.1f}%'
                 if args.workload in ('ensemble', 'ensemble_train') else '')
+    if args.workload == 'delta_uq':
+        mfu_note = (f' anchored_rows/s={tpu_tp * _DUQ_ANCHORS:,.0f} '
+                    f'mxu_bf16_frac={100 * mfu:.1f}% '
+                    f'(f32 frac ~{400 * mfu:.0f}%)')
     print(f'# jax {args.workload} {kind}: batch={batch} '
           f'members={args.num_models}{prec} '
           f'median_time={tpu_t * 1e3:.2f}ms throughput={tpu_tp:,.0f}/s'

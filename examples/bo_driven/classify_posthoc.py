@@ -109,6 +109,15 @@ def main(input, config, output, percentile, ue_dist_column, platform,
             continue
         if allow is not None and bench not in allow:
             continue
+        # per-cell banking: each (benchmark, dataset, method) classification
+        # lands in its own CSV as soon as it finishes, so an interrupted
+        # pass resumes instead of redoing hundreds of model loads
+        cell_csv = output / f'cell_{bench}_{dset}_{method}.csv'
+        if cell_csv.exists():
+            print(f'resuming: {cell_csv} exists, skipping {bench}/{dset}/'
+                  f'{method}')
+            frames.append(pd.read_csv(cell_csv))
+            continue
         if (bench, dset) not in dataset_cache:
             ds_cfg = config['benchmarks'][bench]['datasets']
             dataset_cache[(bench, dset)] = load_cell_datasets(ds_cfg, dset)
@@ -120,6 +129,7 @@ def main(input, config, output, percentile, ue_dist_column, platform,
         df['benchmark'] = bench
         df['dataset'] = dset
         df['method'] = method
+        df.to_csv(cell_csv, index=False)
         frames.append(df)
 
     if not frames:

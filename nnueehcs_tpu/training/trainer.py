@@ -88,6 +88,12 @@ class Trainer:
     # premium when early stopping could end it cheaply
     WHOLE_FIT_BREAK_EVEN_EPOCHS = 160
     WHOLE_FIT_AUTO_DELAY = 120
+    #: break-even when the persistent XLA compilation cache is enabled
+    #: (run_bo_experiment turns it on, driver.py:enable_compilation_cache):
+    #: every trial of a BO cell after the first compile of a given program
+    #: shape reloads it from disk in ~1-3 s, so only the per-epoch dispatch
+    #: saving (~250 ms/epoch) needs to clear that
+    WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED = 40
 
     def __init__(self, name, trainer_config, logger=None, callbacks=None,
                  version=None, log_dir='logs'):
@@ -624,9 +630,18 @@ class Trainer:
                 if mode == 'auto':
                     has_es = any(isinstance(h, EarlyStopping) for h in hooks)
                     remaining = self.max_epochs - e0
-                    if remaining < self.WHOLE_FIT_BREAK_EVEN_EPOCHS:
+                    # with the persistent compilation cache on, the compile
+                    # premium is paid once per program shape per cell — the
+                    # in-device while_loop early stop means engaged fits
+                    # never waste epochs, so engage far more aggressively
+                    cache_on = jax.config.jax_compilation_cache_dir is not None
+                    break_even = (self.WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED
+                                  if cache_on
+                                  else self.WHOLE_FIT_BREAK_EVEN_EPOCHS)
+                    if remaining < break_even:
                         return False
-                    if has_es and e0 < self.WHOLE_FIT_AUTO_DELAY:
+                    if has_es and not cache_on \
+                            and e0 < self.WHOLE_FIT_AUTO_DELAY:
                         return False
                 n_es = 0
                 for h in hooks:

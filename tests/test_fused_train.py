@@ -760,6 +760,37 @@ def test_whole_fit_auto_heuristic(tmp_path):
          Trainer.WHOLE_FIT_AUTO_DELAY) = old
 
 
+def test_whole_fit_auto_engages_early_with_compilation_cache(tmp_path):
+    """With the persistent XLA compilation cache enabled (run_bo_experiment
+    turns it on), the compile premium is paid once per program shape per
+    BO cell, so 'auto' uses the lower cached break-even and skips the
+    early-stop survival delay — the in-device while_loop stop means an
+    engaged fit never wastes epochs."""
+    import jax
+    from nnueehcs_tpu.training import Trainer
+
+    old = (Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS,
+           Trainer.WHOLE_FIT_AUTO_DELAY,
+           Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED)
+    # uncached thresholds far out of reach: engagement can only come from
+    # the cached branch
+    Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS = 10_000
+    Trainer.WHOLE_FIT_AUTO_DELAY = 10_000
+    Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED = 3
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update('jax_compilation_cache_dir', str(tmp_path / 'xc'))
+    try:
+        _, tr_a, vls_a = _fit_traj(tmp_path, 'auto', 'c1', epochs=8)
+        _, tr_e, vls_e = _fit_traj(tmp_path, False, 'c2', epochs=8)
+        assert tr_a.whole_fit_dispatches == 1
+        np.testing.assert_allclose(vls_a, vls_e, rtol=0, atol=1e-6)
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prev_dir)
+        (Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS,
+         Trainer.WHOLE_FIT_AUTO_DELAY,
+         Trainer.WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED) = old
+
+
 @pytest.mark.parametrize('family', ['delta_uq', 'pager', 'mve'])
 def test_whole_fit_all_hooked_families(tmp_path, family):
     """Whole-fit through the anchor-capturing (ΔUQ/PAGER) and NLL (MVE)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 from typing import List, Optional
 
@@ -94,6 +95,10 @@ class Trainer:
     #: shape reloads it from disk in ~1-3 s, so only the per-epoch dispatch
     #: saving (~250 ms/epoch) needs to clear that
     WHOLE_FIT_BREAK_EVEN_EPOCHS_CACHED = 40
+    #: latched True after a whole-fit dispatch fails (compile OOM etc.) so
+    #: no later trial in the same process pays the failure again; the
+    #: per-epoch kernel path computes the identical fit
+    _whole_fit_broken = False
 
     def __init__(self, name, trainer_config, logger=None, callbacks=None,
                  version=None, log_dir='logs'):
@@ -611,6 +616,8 @@ class Trainer:
                 callback's validation behaviour replayable post-hoc."""
                 if os.environ.get('NNUEEHCS_TPU_NO_WHOLE_FIT'):
                     return False
+                if Trainer._whole_fit_broken:
+                    return False
                 # cost model, measured on-chip (docs/BENCHMARKS.md): the
                 # one-dispatch fit costs ~40 s of extra XLA compile
                 # (warm-cache) and saves ~250 ms/epoch of dispatch overhead
@@ -791,15 +798,39 @@ class Trainer:
                                    jnp.int32))
                 if perm is None:
                     perm = jnp.arange(n)
-                (th, mb, vb, sg, bth, bsg, ep_done_d, step0_d, lbuf,
-                 vlbuf) = whole_fit_jit(
-                    th, mb, vb, sg, x_train, y_train, perm,
-                    jnp.asarray(base_lr, jnp.float32),
-                    jnp.asarray(fused_step0, jnp.int32),
-                    jnp.asarray(epoch, jnp.int32), ep_seeds,
-                    shuffle_key, train_key, val_key,
-                    val_xs, val_ys, vt_x, vt_y, pl0, es0, nb_val_full)
-                ep_done = int(ep_done_d)             # the one host sync
+                try:
+                    (th, mb, vb, sg, bth, bsg, ep_done_d, step0_d, lbuf,
+                     vlbuf) = whole_fit_jit(
+                        th, mb, vb, sg, x_train, y_train, perm,
+                        jnp.asarray(base_lr, jnp.float32),
+                        jnp.asarray(fused_step0, jnp.int32),
+                        jnp.asarray(epoch, jnp.int32), ep_seeds,
+                        shuffle_key, train_key, val_key,
+                        val_xs, val_ys, vt_x, vt_y, pl0, es0, nb_val_full)
+                    ep_done = int(ep_done_d)         # the one host sync
+                except Exception as exc:             # noqa: BLE001
+                    # graceful degradation: a whole-fit compile/launch
+                    # failure (e.g. an HBM-temp OOM on an unusually large
+                    # program) must not kill the trial — the per-epoch
+                    # kernel path computes the identical fit.  Disable
+                    # whole-fit for the rest of this process so a BO cell
+                    # never pays the failure more than once.
+                    Trainer._whole_fit_broken = True
+                    self.whole_fit_dispatches -= 1
+                    if any(b.is_deleted() for b in (th, mb, vb, sg)):
+                        # execution-stage failure invalidated the donated
+                        # buffers; force a repack from host params/opt
+                        # (only the compile-stage OOM has been seen in
+                        # practice, which leaves the args intact)
+                        fused_buffers = None
+                    else:
+                        fused_buffers = [th, mb, vb, sg]
+                    print('whole-fit dispatch failed '
+                          f'({type(exc).__name__}: {exc}); falling back to '
+                          'per-epoch kernels for this process',
+                          file=sys.stderr)
+                    whole_ok = False
+            if whole_ok:
                 fused_step0 = int(step0_d)
                 lbuf = np.asarray(lbuf)
                 vlbuf = np.asarray(vlbuf)

@@ -708,6 +708,40 @@ def test_whole_fit_mcdropout(tmp_path):
     np.testing.assert_allclose(vls_w, vls_e, rtol=0, atol=1e-6)
 
 
+def test_whole_fit_failure_falls_back(tmp_path, monkeypatch):
+    """An injected whole-fit dispatch failure (the compile-OOM shape seen
+    on-chip) must not kill the fit: the trainer latches whole-fit off for
+    the process and completes the identical fit on the per-epoch kernel
+    path, preserving the packed Adam state."""
+    from nnueehcs_tpu.training.trainer import Trainer
+    monkeypatch.setattr(Trainer, '_whole_fit_broken', False)
+    real_jit = jax.jit
+
+    def sabotaged_jit(fun, *a, **k):
+        if getattr(fun, '__name__', '') == 'whole_fit_kernel':
+            def boom(*args, **kw):
+                raise RuntimeError('injected compile OOM')
+            return boom
+        return real_jit(fun, *a, **k)
+
+    monkeypatch.setattr(jax, 'jit', sabotaged_jit)
+    m_f, tr_f, vls_f = _fit_traj(tmp_path, True, 'fb')
+    monkeypatch.setattr(jax, 'jit', real_jit)
+    assert Trainer._whole_fit_broken
+    assert tr_f.whole_fit_dispatches == 0
+    assert tr_f.fused_epochs_used == 4
+    # a later fit in the same process must not attempt whole-fit again
+    m_2, tr_2, vls_2 = _fit_traj(tmp_path, True, 'fb2')
+    assert tr_2.whole_fit_dispatches == 0
+    # the degraded fit is numerically identical to the per-epoch path
+    monkeypatch.setattr(Trainer, '_whole_fit_broken', False)
+    m_e, tr_e, vls_e = _fit_traj(tmp_path, False, 'eb')
+    np.testing.assert_allclose(vls_f, vls_e, rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m_f.params),
+                    jax.tree_util.tree_leaves(m_e.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_bf16_mixed_tracks_f32_loosely():
     """bf16 GEMM operands (f32 accumulation/master weights): the loss curve
     must track the f32 path within mixed-precision tolerance."""

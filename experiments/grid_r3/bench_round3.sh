@@ -13,6 +13,7 @@ run python bench.py                                       # f32 headline
 run python bench.py --precision bf16-mixed                # bf16 fused eval (new)
 run python bench.py --workload mc_dropout
 run python bench.py --workload delta_uq --batch 65536   # grid cost driver
+run python bench.py --workload delta_uq --batch 65536 --precision bf16-mixed
 run python bench.py --workload ensemble_train_epoch       # fused kernel MFU
 run python bench.py --workload mcd_train_epoch
 run python bench.py --workload ensemble_train --precision bf16-mixed

@@ -151,13 +151,16 @@ class DeltaUQMLP(WrappedModelBase):
         k = A.shape[0]                   # may be < n_anchors (few anchors)
         g = max(1, min(k, self._rows_budget() // max(B, 1)))
         if g >= k:
-            preds = group_preds(A)
+            # accumulate anchor statistics in f32 regardless of the net's
+            # compute dtype (bf16-mixed runs the anchored GEMMs on the MXU
+            # fast path; the anchor-axis mean/std must not lose precision)
+            preds = group_preds(A).astype(jnp.float32)
             mean = preds.mean(0)
             if self.estimator == 'var':
                 spread = jnp.var(preds, axis=0, ddof=1)
             else:
                 spread = _std_unbiased(preds, axis=0)
-            return mean, spread
+            return mean.astype(x.dtype), spread.astype(x.dtype)
 
         # grouped scan combining per-group (count, mean, M2) with Chan's
         # parallel-variance update — single pass and numerically stable

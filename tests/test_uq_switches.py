@@ -155,6 +155,35 @@ class TestAnchoredEvalGrouping:
         np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_b),
                                    rtol=1e-4, atol=1e-6)
 
+    def test_delta_uq_bf16_mixed_eval_tracks_f32(self):
+        """bf16-mixed anchored eval (the round-4 option for the delta_uq
+        cell's 19 PFLOP/trial protocol cost) runs the anchored GEMMs in
+        bf16 but must accumulate anchor statistics in f32 and return the
+        input dtype, tracking the f32 path within mixed tolerance on
+        both the one-shot and the grouped scan path."""
+        x, y = _data(48)
+        m = DeltaUQMLPModelBuilder(
+            DESCR, {'estimator': 'std', 'num_anchors': 10}).build()
+        m.anchors = np.random.default_rng(1).normal(size=(10, 4)).astype(
+            np.float32)
+        mean32, std32 = (np.asarray(v) for v in m(x, return_ue=True))
+        m.set_precision('bf16-mixed')
+        m.invalidate_cache()
+        mean16, std16 = m(x, return_ue=True)
+        assert np.asarray(mean16).dtype == np.float32
+        assert np.asarray(std16).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(mean16), mean32,
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(std16), std32,
+                                   rtol=0.25, atol=0.05)
+        m.anchor_rows_budget = 3 * 48          # grouped scan path
+        m.invalidate_cache()
+        mean16g, std16g = m(x, return_ue=True)
+        np.testing.assert_allclose(np.asarray(mean16g), np.asarray(mean16),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(std16g), np.asarray(std16),
+                                   rtol=1e-3, atol=1e-5)
+
     def test_pager_grouped_matches(self):
         x, y = _data(40)
         m = PAGERModelBuilder(

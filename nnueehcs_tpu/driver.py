@@ -350,6 +350,12 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
     bo_params = get_params(boc)
     training_cfg.pop('parameter_space', None)
     uq_config[uq_method].pop('parameter_space', None)
+    # documented deviation knob: run the timed-eval / UE passes in this
+    # precision (e.g. 'bf16-mixed') while training and checkpoints stay
+    # f32 — halves the MXU roofline of the anchored-eval-dominated cells
+    # (delta_uq/pager, ~19 PFLOP of protocol-mandated measurement per
+    # trial; see docs/EXPERIMENTS.md cell 9)
+    eval_precision = uq_config[uq_method].pop('eval_precision', None)
     name = benchmark
 
     def fresh_client():
@@ -413,6 +419,8 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
         training_time = time.time() - train_start
 
         model = load_model(f'{trainer.logger.log_dir}/model.pth')
+        if eval_precision:
+            model.set_precision(eval_precision)
         if devices is not None:
             if len(devices) > 1:
                 from .parallel.mesh import make_mesh

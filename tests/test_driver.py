@@ -100,6 +100,33 @@ def test_bo_loop_and_restart(mini_config, tmp_path):
     assert len(results2) >= 3
 
 
+def test_eval_precision_knob(mini_config, tmp_path, monkeypatch):
+    """``uq_methods.<m>.eval_precision`` runs the timed-eval/UE passes in
+    the requested precision (training stays f32): the knob is popped
+    before the builder sees it and applied to the reloaded model."""
+    import copy
+    from nnueehcs_tpu.models.base import WrappedModelBase
+    cfg = copy.deepcopy(mini_config)
+    cfg['uq_methods']['ensemble']['eval_precision'] = 'bf16-mixed'
+    cfg['bo_config'] = dict(cfg['bo_config'], trials=1)
+    seen = []
+    orig = WrappedModelBase.set_precision
+
+    def spy(self, p):
+        seen.append(p)
+        return orig(self, p)
+
+    monkeypatch.setattr(WrappedModelBase, 'set_precision', spy)
+    out = str(tmp_path / 'results')
+    results = run_bo_experiment('minibude', 'ensemble', cfg, 'tails', out)
+    assert len(results) == 1
+    assert 'bf16-mixed' in seen
+    df = pd.read_csv(os.path.join(out, 'minibude', 'tails', 'ensemble',
+                                  'bo_trial_0', 'trial_results.csv'))
+    assert not df['failed'].any()
+    assert (df['uncertainty_estimating_throughput'] > 0).all()
+
+
 def test_restart_index_scan(tmp_path):
     base = tmp_path / 'b' / 'd' / 'm'
     for i, complete in [(0, True), (1, True), (2, False)]:

@@ -20,13 +20,13 @@ def load_cell(path):
     p = Path(path)
     if p.is_file():
         return pd.read_csv(p)
-    rows = []
-    for t in sorted(p.glob('bo_trial_*/trial_results.csv'),
-                    key=lambda q: int(q.parent.name.rsplit('_', 1)[1])):
-        rows.append(pd.read_csv(t))
-    if not rows:
+    # trial_results.csv is CUMULATIVE (each bo_trial_N dir holds the full
+    # history through trial N, reference convention) — read the latest
+    trials = sorted(p.glob('bo_trial_*/trial_results.csv'),
+                    key=lambda q: int(q.parent.name.rsplit('_', 1)[1]))
+    if not trials:
         raise SystemExit(f'no trial_results.csv under {p}')
-    return pd.concat(rows, ignore_index=True)
+    return pd.read_csv(trials[-1])
 
 
 def fmt_thr(v):

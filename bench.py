@@ -121,6 +121,12 @@ def _build_model(workload: str, num_models: int, precision=None):
             train_config={'loss': 'l1_loss'}).build()
         model.anchors = np.random.default_rng(2).normal(
             size=(_DUQ_ANCHORS, 5)).astype(np.float32)
+    elif workload == 'mve':
+        # the grid's fastest UE method: one forward pass, variance head
+        # (binomial_options x mve cell observed 74-158M samples/s)
+        from nnueehcs_tpu.model_builder import MVEModelBuilder
+        model = MVEModelBuilder(arch, {'min_variance': 1e-7},
+                                train_config={'loss': 'l1_loss'}).build()
     elif workload == 'kde':
         model = KDEModelBuilder(arch, {'rtol': 1000},
                                 train_config={'loss': 'l1_loss'}).build()
@@ -301,7 +307,7 @@ def jax_ue_throughput(batch: int, num_models: int, warmup: int, trials: int,
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, 5)),
                     jnp.float32)
 
-    if workload in ('ensemble', 'mc_dropout', 'delta_uq'):
+    if workload in ('ensemble', 'mc_dropout', 'delta_uq', 'mve'):
         # the real user path (model.__call__) so the fused VMEM-resident
         # kernels engage; input stays device-resident
         def fn(p, s, xx):
@@ -428,7 +434,7 @@ def main():
     ap.add_argument('--skip-baseline', action='store_true')
     ap.add_argument('--workload', default='ensemble',
                     choices=['ensemble', 'mc_dropout', 'kde', 'delta_uq',
-                             'ensemble_train', 'ensemble_train_epoch',
+                             'mve', 'ensemble_train', 'ensemble_train_epoch',
                              'mcd_train_epoch'],
                     help='which UQ workload to benchmark (headline: ensemble)')
     ap.add_argument('--precision', default=None,

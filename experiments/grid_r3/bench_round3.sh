@@ -12,6 +12,7 @@ run() { echo "=== $* ===" >> "$LOG"; timeout 900 "$@" >> "$LOG" 2>&1; }
 run python bench.py                                       # f32 headline
 run python bench.py --precision bf16-mixed                # bf16 fused eval (new)
 run python bench.py --workload mc_dropout
+run python bench.py --workload mve                        # fastest UE method
 run python bench.py --workload delta_uq --batch 65536   # grid cost driver
 run python bench.py --workload delta_uq --batch 65536 --precision bf16-mixed
 run python bench.py --workload ensemble_train_epoch       # fused kernel MFU

@@ -379,6 +379,45 @@ def torch_reference_throughput(batch: int, num_models: int, warmup: int,
     return batch / mean_t, mean_t
 
 
+def torch_mc_dropout_reference_throughput(batch: int, num_samples: int,
+                                          warmup: int, trials: int,
+                                          dropout: float = 0.1):
+    """The reference's MC-dropout eval path on CPU: ``num_samples``
+    stochastic forwards of one dropout-active model (the reference keeps
+    Dropout in train mode during eval, reference ``models.py:165-169``),
+    stacked mean/std.  Baselines the BASELINE.md north-star's
+    '128-sample MC-dropout eval' x-factor."""
+    import torch
+
+    torch.manual_seed(0)
+    layers = [torch.nn.Linear(5, 128), torch.nn.BatchNorm1d(128),
+              torch.nn.ReLU()]
+    for _ in range(5):
+        layers += [torch.nn.Dropout(dropout), torch.nn.Linear(128, 128),
+                   torch.nn.BatchNorm1d(128), torch.nn.ReLU()]
+    layers.append(torch.nn.Linear(128, 1))
+    model = torch.nn.Sequential(*layers).eval()
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.train()
+    x = torch.randn(batch, 5)
+
+    def forward():
+        outs = torch.stack([model(x) for _ in range(num_samples)])
+        return outs.mean(0), outs.std(0)
+
+    with torch.no_grad():
+        for _ in range(warmup):
+            forward()
+        times = []
+        for _ in range(trials):
+            start = time.perf_counter()
+            forward()
+            times.append(time.perf_counter() - start)
+    mean_t = float(np.mean(times))
+    return batch / mean_t, mean_t
+
+
 def torch_train_epoch_reference(steps: int, batch: int, num_models: int,
                                 dropout: float = 0.0):
     """The reference's training hot loop on CPU: Lightning dispatches one
@@ -533,13 +572,20 @@ def main():
           file=sys.stderr)
 
     vs_baseline = None
-    if args.workload != 'ensemble':
-        args.skip_baseline = True   # torch baseline models the ensemble loop
+    if args.workload not in ('ensemble', 'mc_dropout'):
+        args.skip_baseline = True   # torch baseline models those two loops
     if not args.skip_baseline:
         try:
-            ref_tp, ref_t = torch_reference_throughput(
-                torch_batch, args.num_models, max(1, warmup // 2),
-                max(3, trials // 2))
+            if args.workload == 'mc_dropout':
+                # smaller CPU batch (throughput is ~batch-independent
+                # here); 128 samples x 16k rows would take minutes/pass
+                ref_tp, ref_t = torch_mc_dropout_reference_throughput(
+                    max(1024, torch_batch // 8), 128,
+                    max(1, warmup // 2), max(3, trials // 2))
+            else:
+                ref_tp, ref_t = torch_reference_throughput(
+                    torch_batch, args.num_models, max(1, warmup // 2),
+                    max(3, trials // 2))
             print(f'# torch-cpu reference: batch={torch_batch} '
                   f'mean_time={ref_t * 1e3:.2f}ms '
                   f'throughput={ref_tp:,.0f}/s', file=sys.stderr)

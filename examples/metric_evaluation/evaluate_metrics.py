@@ -160,13 +160,25 @@ def process_benchmark_dataset(composite, config, benchmark, dataset,
         for run in runs:
             trial = Path(run['log_path']).stem
             print(f'Evaluating trial: {trial}')
-            trial_inst = composite.get_results_instance(
-                benchmark, dataset, current_method, trial)
-            model = load_model(trial_inst.get_model_file())
-            model.to(np.asarray(dataset_id.input).dtype)
-            model.eval()
-            metric_results = evaluate_model_metrics(model, dataset_id,
-                                                    dataset_ood, evaluators)
+            # per-trial fault isolation: a missing/corrupt checkpoint (e.g.
+            # a trial dir pruned for disk space) must not take down every
+            # other method of this (benchmark, dataset) task — record a
+            # FAILED row for the trial and keep going (same contract as the
+            # driver's per-task FAILED rows, reference workflow semantics)
+            try:
+                trial_inst = composite.get_results_instance(
+                    benchmark, dataset, current_method, trial)
+                model = load_model(trial_inst.get_model_file())
+                model.to(np.asarray(dataset_id.input).dtype)
+                model.eval()
+                metric_results = evaluate_model_metrics(
+                    model, dataset_id, dataset_ood, evaluators)
+            except Exception as e:
+                print(f'FAILED {benchmark}/{dataset}/{current_method}/'
+                      f'{trial}: {e}')
+                results.append([benchmark, dataset, current_method, trial,
+                                'FAILED', 'FAILED', str(e)])
+                continue
             for metric_name, objective_name, value in metric_results:
                 results.append([benchmark, dataset, current_method, trial,
                                 metric_name, objective_name, value])

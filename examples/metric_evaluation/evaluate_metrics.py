@@ -98,6 +98,22 @@ def find_pareto_optimal_runs(results_instance: ResultsInstance,
                              train_eval_metrics):
     res = pd.read_csv(results_instance.get_trial_results_file())
 
+    # Failed trials are recorded as NaN-metric rows (driver failure
+    # contract). NaNs compare False on both sides of the Pareto test, so a
+    # single failure row would mark EVERY row non-efficient (the reference's
+    # is_pareto_efficient at evaluate_metrics.py:148-164 has the same
+    # behaviour); drop them before selecting runs.
+    if 'failed' in res.columns:
+        res = res[res['failed'] != True]  # noqa: E712 (column may be object-typed)
+    for metric in train_eval_metrics:
+        name = metric.get_metrics()[0]
+        if name in res.columns:
+            res = res[res[name].notna()]
+    res = res.reset_index(drop=True)
+    if len(res) == 0:
+        print('Found 0 Pareto-optimal runs out of 0 successful runs')
+        return []
+
     if len(train_eval_metrics) == 1:
         metric = train_eval_metrics[0]
         name = metric.get_metrics()[0]
@@ -174,10 +190,19 @@ def process_benchmark_dataset(composite, config, benchmark, dataset,
                 metric_results = evaluate_model_metrics(
                     model, dataset_id, dataset_ood, evaluators)
             except Exception as e:
+                msg = str(e)
+                # A dead device backend (chip tunnel down / chip held by
+                # another process) fails every remaining trial the same
+                # way, and each re-attempted backend init blocks for many
+                # minutes — abort the task instead so the fan-out driver
+                # records it and a later --skip-completed pass retries.
+                if ('Unable to initialize backend' in msg
+                        or 'UNAVAILABLE' in msg):
+                    raise
                 print(f'FAILED {benchmark}/{dataset}/{current_method}/'
                       f'{trial}: {e}')
                 results.append([benchmark, dataset, current_method, trial,
-                                'FAILED', 'FAILED', str(e)])
+                                'FAILED', 'FAILED', msg])
                 continue
             for metric_name, objective_name, value in metric_results:
                 results.append([benchmark, dataset, current_method, trial,

@@ -77,3 +77,69 @@ def test_classify_posthoc_benchmark_filter(tmp_path):
     assert res.exit_code == 0, res.output
     final = pd.read_csv(out / 'classification.csv')
     assert set(final['benchmark']) == {'b1'}
+
+
+def _load_evaluate_metrics():
+    me_dir = REPO / 'examples' / 'metric_evaluation'
+    spec = importlib.util.spec_from_file_location(
+        'evaluate_metrics_mod', me_dir / 'evaluate_metrics.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _StubMetric:
+    def __init__(self, name, direction):
+        self._name, self._dir = name, direction
+
+    def get_metrics(self):
+        return [self._name]
+
+    def get_objectives(self):
+        return [{'name': self._name, 'type': self._dir}]
+
+
+class _StubInstance:
+    def __init__(self, path):
+        self._path = path
+
+    def get_trial_results_file(self):
+        return str(self._path)
+
+
+def test_pareto_selection_ignores_failed_nan_rows(tmp_path):
+    """A failed trial's NaN metric row must not poison the Pareto mask
+    (NaN compares False both ways, which would mark EVERY row
+    non-efficient — observed live on the delta_uq partial cell)."""
+    mod = _load_evaluate_metrics()
+    csv = tmp_path / 'trial_results.csv'
+    pd.DataFrame({
+        'trial': [0, 1, 2, 3],
+        'log_path': [f'r/bo_trial_{i}' for i in range(4)],
+        'percentile_score': [float('nan'), 0.5, 0.3, 0.4],
+        'uncertainty_estimating_throughput': [float('nan'), 10.0, 5.0, 20.0],
+        'failed': [True, False, False, False],
+    }).to_csv(csv, index=False)
+
+    metrics = [_StubMetric('percentile_score', 'minimize'),
+               _StubMetric('uncertainty_estimating_throughput', 'maximize')]
+    runs = mod.find_pareto_optimal_runs(_StubInstance(csv), metrics)
+    trials = sorted(r['trial'] for r in runs)
+    # trial 2 (best score) and trial 3 (best throughput) are the front;
+    # trial 1 is dominated by 3, trial 0 failed
+    assert trials == [2, 3]
+
+
+def test_pareto_selection_all_failed_returns_empty(tmp_path):
+    mod = _load_evaluate_metrics()
+    csv = tmp_path / 'trial_results.csv'
+    pd.DataFrame({
+        'trial': [0],
+        'log_path': ['r/bo_trial_0'],
+        'percentile_score': [float('nan')],
+        'uncertainty_estimating_throughput': [float('nan')],
+        'failed': [True],
+    }).to_csv(csv, index=False)
+    metrics = [_StubMetric('percentile_score', 'minimize'),
+               _StubMetric('uncertainty_estimating_throughput', 'maximize')]
+    assert mod.find_pareto_optimal_runs(_StubInstance(csv), metrics) == []

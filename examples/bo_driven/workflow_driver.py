@@ -17,6 +17,7 @@ _sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
 import os
 import subprocess
 import sys
+import time
 from concurrent.futures import ThreadPoolExecutor
 from itertools import product
 
@@ -52,8 +53,20 @@ def run_bo_task(config_path, benchmark, uq_method, dataset, output,
             rc = subprocess.run(cmd, stdout=out, stderr=err, env=env).returncode
         if rc == 0:
             return (benchmark, uq_method, dataset, 0)
-        print(f'Task {benchmark}/{uq_method}/{dataset} failed '
-              f'(attempt {attempt}, rc={rc}); retrying with --restart')
+        # Exponential backoff between retries (30 s … 10 min): the dominant
+        # real failure mode is a temporarily unreachable device (chip held
+        # by a dying process / tunnel hiccup), where an immediate relaunch
+        # just re-blocks on backend init. Parsl's retry loop got the same
+        # effect from SLURM queue latency.
+        if attempt < retries:
+            backoff = min(30 * 2 ** attempt, 600)
+            print(f'Task {benchmark}/{uq_method}/{dataset} failed '
+                  f'(attempt {attempt}, rc={rc}); retrying with --restart '
+                  f'in {backoff}s')
+            time.sleep(backoff)
+        else:
+            print(f'Task {benchmark}/{uq_method}/{dataset} failed '
+                  f'(attempt {attempt}, rc={rc}); retries exhausted')
     return (benchmark, uq_method, dataset, rc)
 
 

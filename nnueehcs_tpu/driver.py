@@ -478,6 +478,10 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
             row['ood_ue_throughput'] = ood_ue_throughput
             row['train_time'] = training_time
             row['log_path'] = f'{trainer.logger.log_dir}'
+            # additive column (not in the reference schema): the grid can
+            # legitimately mix devices (reference mixed A40/A100 SLURM
+            # partitions), and all timing columns are hardware-scaled
+            row['platform'] = jax.default_backend()
             row['failed'] = False
             row['error_message'] = ''
             trial_results[index] = row
@@ -496,6 +500,7 @@ def run_bo_experiment(benchmark, uq_method, config: dict, dataset, output,
                         'id_time', 'ood_time', 'ue_throughput',
                         'id_ue_throughput', 'ood_ue_throughput'):
                 row[col] = float('nan')
+            row['platform'] = jax.default_backend()
             row['failed'] = True
             row['error_message'] = str(e)
             trial_results[index] = row

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Phase 3: complete airfoil's full method x split sub-grid (7 UQ methods
+# x {tails,gaps}) at reference budget on CPU, through the L5 driver.
+# Already complete: ensemble:tails, delta_uq:tails, pager:tails,
+# kde:both, knn_kde:both. This queue adds the remaining 7 cells.
+set -u
+cd /root/repo
+nice -n 10 python examples/bo_driven/workflow_driver.py \
+  --config examples/bo_driven/config_full.yaml \
+  --output experiments/full_cell/results \
+  --rundir experiments/grid_r3/rundir \
+  --max_tasks 1 --platform cpu \
+  --cells airfoil:mve:tails,airfoil:mve:gaps,airfoil:mc_dropout:tails,airfoil:mc_dropout:gaps,airfoil:ensemble:gaps,airfoil:delta_uq:gaps,airfoil:pager:gaps \
+  >> experiments/grid_r3/driver_p3.log 2>&1
+echo P3_AIRFOIL_DONE >> experiments/grid_r3/driver_p3.log

@@ -1,6 +1,7 @@
 #!/bin/bash
-# Phase 4 (time permitting): the KDE-family cells dropped from the
-# phase-2 queue when it was preempted for the airfoil completion sweep.
+# Phase 4: finish the reference's 16-cell KDE grid (4 benchmarks x
+# {kde,knn_kde} x {tails,gaps}); ailerons first (no cell yet), then the
+# puma knn_kde pair.
 set -u
 cd /root/repo
 nice -n 10 python examples/bo_driven/workflow_driver.py \
@@ -8,6 +9,6 @@ nice -n 10 python examples/bo_driven/workflow_driver.py \
   --output experiments/full_cell/results \
   --rundir experiments/grid_r3/rundir \
   --max_tasks 1 --platform cpu \
-  --cells puma:knn_kde:tails,puma:knn_kde:gaps,ailerons:kde:tails,ailerons:kde:gaps,ailerons:knn_kde:tails,ailerons:knn_kde:gaps \
+  --cells ailerons:kde:tails,ailerons:knn_kde:tails,ailerons:kde:gaps,ailerons:knn_kde:gaps,puma:knn_kde:tails,puma:knn_kde:gaps \
   >> experiments/grid_r3/driver_p4.log 2>&1
 echo P4_KDE_DONE >> experiments/grid_r3/driver_p4.log

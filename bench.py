@@ -90,6 +90,48 @@ def _compare_and_record(metric, value, unit, spread, record):
     return vs_prev
 
 
+def _ensure_backend():
+    """Probe the default JAX backend in a subprocess; on failure (e.g. the
+    axon pool stops granting claims — observed multi-hour outages) fall
+    back to CPU so the round still records an annotated bench line instead
+    of crashing after a ~25-minute blocked init.  Returns (backend_name,
+    degraded).  A pre-set JAX_PLATFORMS=cpu skips the probe (the
+    environment here pins JAX_PLATFORMS=axon globally, so a device
+    platform must still be probed for liveness)."""
+    preset = _os.environ.get('JAX_PLATFORMS', '')
+    if preset and all(p in ('cpu',) for p in preset.split(',')):
+        # ambient site hooks pre-register the accelerator and ignore the
+        # env var — pin through the config API (as the drivers' --platform
+        # flag does)
+        import jax
+        jax.config.update('jax_platforms', preset)
+        return preset, False
+    import subprocess
+    probe = 'import jax; jax.devices(); print(jax.default_backend())'
+    try:
+        r = subprocess.run([sys.executable, '-c', probe],
+                           capture_output=True, text=True, timeout=2100)
+    except subprocess.TimeoutExpired:
+        r = None
+    if r is not None and r.returncode == 0 and r.stdout.strip():
+        return r.stdout.strip().splitlines()[-1], False
+    tail = ''
+    if r is not None:
+        lines = (r.stdout + r.stderr).strip().splitlines()
+        tail = lines[-1] if lines else ''
+    print(f'# TPU backend unavailable ({tail or "probe timeout"}) — '
+          f'falling back to CPU with quick shapes; numbers are NOT '
+          f'comparable to chip history and are not recorded',
+          file=sys.stderr)
+    _os.environ['JAX_PLATFORMS'] = 'cpu'
+    # ambient site hooks pre-register the accelerator and ignore the env
+    # var, so pin the platform through the config API too (same approach
+    # as the drivers' --platform flag)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    return 'cpu', True
+
+
 def _build_model(workload: str, num_models: int, precision=None):
     from __graft_entry__ import _flagship
     if workload == 'ensemble':
@@ -482,6 +524,11 @@ def main():
                          '(bf16-mixed: bf16 MXU operands, f32 accumulation)')
     args = ap.parse_args()
 
+    backend, degraded = _ensure_backend()
+    if degraded:
+        # quick shapes + no history recording on the CPU fallback
+        args.quick = True
+
     if args.quick:
         batch, torch_batch, warmup, trials = 8192, 2048, 2, 3
     else:
@@ -533,16 +580,19 @@ def main():
                 print(f'# baseline unavailable: {e}', file=sys.stderr)
         metric = (f'uq_{args.workload}_throughput'
                   if mc else 'uq_ensemble_train_epoch_throughput')
-        vs_prev = _compare_and_record(metric, tpu_tp, 'samples/s', spread,
-                                      record=not args.quick)
-        print(json.dumps({
+        vs_prev = (None if degraded else _compare_and_record(
+            metric, tpu_tp, 'samples/s', spread, record=not args.quick))
+        out = {
             'metric': metric,
             'value': round(tpu_tp, 1),
             'unit': 'samples/s',
             'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
             'spread_pct': spread['spread_pct'],
             'vs_prev': round(vs_prev, 3) if vs_prev else None,
-        }))
+        }
+        if degraded:
+            out['platform'] = 'cpu-fallback'
+        print(json.dumps(out))
         return
 
     tpu_tp, tpu_t, spread = jax_ue_throughput(
@@ -596,16 +646,19 @@ def main():
     metric_name = ('uq_ensemble_train_throughput'
                    if args.workload == 'ensemble_train'
                    else f'uq_{args.workload}_ue_throughput')
-    vs_prev = _compare_and_record(metric_name, tpu_tp, 'samples/s', spread,
-                                  record=not args.quick)
-    print(json.dumps({
+    vs_prev = (None if degraded else _compare_and_record(
+        metric_name, tpu_tp, 'samples/s', spread, record=not args.quick))
+    out = {
         'metric': metric_name,
         'value': round(tpu_tp, 1),
         'unit': 'samples/s',
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
         'spread_pct': spread['spread_pct'],
         'vs_prev': round(vs_prev, 3) if vs_prev else None,
-    }))
+    }
+    if degraded:
+        out['platform'] = 'cpu-fallback'
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

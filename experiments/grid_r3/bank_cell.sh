@@ -7,7 +7,7 @@ set -eu
 cd /root/repo
 B=$1; D=$2; M=$3
 SRC=experiments/full_cell/results/$B/$D/$M
-LAST=$(ls -d $SRC/bo_trial_* | sort -t_ -k3 -n | tail -1)
+LAST=$(ls -d $SRC/bo_trial_* | awk -F_ '{print $NF, $0}' | sort -n | awk '{print $2}' | tail -1)
 DST=experiments/full_cell/artifacts/${B}_${M}_${D}
 mkdir -p "$DST"
 for f in ax_client.json ax_client_optimization_step.json trial_results.csv \

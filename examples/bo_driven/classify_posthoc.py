@@ -87,8 +87,12 @@ def classify_trial_models(method_dir: Path, ds_id, ds_ood, threshold,
 @click.option('--benchmarks', default=None,
               help='Comma-separated benchmark allowlist (classify a subset '
                    'of a large tree, e.g. to split the pass across hosts)')
+@click.option('--methods', default=None,
+              help='Comma-separated UQ-method allowlist (a mixed tree holds '
+                   'config_kde and config_full cells; each pass must pair '
+                   'methods with the config they trained under)')
 def main(input, config, output, percentile, ue_dist_column, platform,
-         benchmarks):
+         benchmarks, methods):
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
@@ -99,6 +103,7 @@ def main(input, config, output, percentile, ue_dist_column, platform,
         config = yaml.safe_load(f)
 
     allow = set(benchmarks.split(',')) if benchmarks else None
+    allow_methods = set(methods.split(',')) if methods else None
     frames = []
     dataset_cache = {}
     for method_dir in sorted(indir.glob('*/*/*')):
@@ -108,6 +113,8 @@ def main(input, config, output, percentile, ue_dist_column, platform,
         if bench not in config['benchmarks']:
             continue
         if allow is not None and bench not in allow:
+            continue
+        if allow_methods is not None and method not in allow_methods:
             continue
         # per-cell banking: each (benchmark, dataset, method) classification
         # lands in its own CSV as soon as it finishes, so an interrupted

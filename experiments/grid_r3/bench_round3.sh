@@ -18,5 +18,8 @@ run python bench.py --workload delta_uq --batch 65536 --precision bf16-mixed
 run python bench.py --workload ensemble_train_epoch       # fused kernel MFU
 run python bench.py --workload mcd_train_epoch
 run python bench.py --workload ensemble_train --precision bf16-mixed
+# non-parity large-batch point: validates BENCHMARKS.md's MFU-ceiling
+# analysis (≥20% MFU predicted at batch 512-1024; parity cells stay 128)
+run python bench.py --workload ensemble_train --precision bf16-mixed --batch 1024
 echo DONE >> "$LOG"
 tail -40 "$LOG"

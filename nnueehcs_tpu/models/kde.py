@@ -112,11 +112,16 @@ class KNNKDEMLPModel(MLPModel):
     uq_method = 'knn_kde'
 
     def __init__(self, net, bandwidth: Union[str, float] = 'scott', k: int = 10,
-                 train_fit_prop: float = 1.0, **kwargs):
+                 train_fit_prop: float = 1.0, knn_exact='auto', **kwargs):
         super().__init__(net, **kwargs)
         self.bandwidth = bandwidth
         self.k = k
         self.train_fit_prop = train_fit_prop
+        # exactness contract (config-visible as uq_config.knn_exact):
+        # True = exact top-k always (the reference's external KNNKDE is
+        # exact); False = TPU approx_max_k fast path (recall ~0.98);
+        # 'auto' = exact below ops.kde.KNN_EXACT_AUTO_PAIRS pairs
+        self.knn_exact = knn_exact
         self._fit_data = None
         self._bandwidth_value = None
 
@@ -147,9 +152,11 @@ class KNNKDEMLPModel(MLPModel):
             # all-gather merge (ops.kde.knn_sq_dists_sharded)
             from ..ops.kde import knn_kde_density_sharded
             dens = knn_kde_density_sharded(x, data, self._bandwidth_value,
-                                           self.k, self._mesh)
+                                           self.k, self._mesh,
+                                           exact=self.knn_exact)
         else:
-            dens = knn_kde_density(x, data, self._bandwidth_value, self.k)
+            dens = knn_kde_density(x, data, self._bandwidth_value, self.k,
+                                   exact=self.knn_exact)
         return pred, -dens
 
     def eval_output(self, params, state, x, rng, return_ue: bool = False):
@@ -169,6 +176,7 @@ class KNNKDEMLPModel(MLPModel):
         d['bandwidth'] = self.bandwidth
         d['k'] = self.k
         d['train_fit_prop'] = self.train_fit_prop
+        d['knn_exact'] = self.knn_exact
         return d
 
     def _extra_arrays(self):

@@ -227,16 +227,35 @@ def kde_logpdf(x, data, h: float):
 # --------------------------------------------------------------------------
 # kNN-KDE: truncated KDE over the k nearest references
 # --------------------------------------------------------------------------
+# 'auto' exactness threshold for kNN: below this many query×reference
+# pairs the exact top-k costs ≲15 ms on-chip (the measured exact merge
+# scan is 237 ms at 1.07G pairs), so exactness is free enough to be the
+# default; above it the approx path's 9.2× matters and recall ≈0.98 is
+# the documented trade (reference KNNKDE is exact, models.py:246-264)
+KNN_EXACT_AUTO_PAIRS = 1 << 26
+
+
+def resolve_knn_exact(exact, b: int, n: int) -> bool:
+    """Resolve a ``knn_exact`` setting (True/False/'auto'/None) for a
+    (queries=b) × (references=n) problem."""
+    if exact is None or exact == 'auto':
+        return b * n <= KNN_EXACT_AUTO_PAIRS
+    return bool(exact)
+
+
 def knn_sq_dists(x, data, k: int, chunk: int = 4096,
-                 recall_target: float = 0.95):
+                 recall_target: float = 0.95, exact=None):
     """(B, k) smallest squared distances.
 
-    On TPU uses ``lax.approx_max_k`` — the hardware-optimised partial-
-    reduction op — over query tiles spanning the full reference set
-    (measured 9× faster than an exact ``top_k`` merge scan at ~0.98
-    recall; the missed neighbours are the most distant of the k, whose
-    kernel contribution is negligible for density scoring).  Elsewhere an
-    exact running top-k merges reference chunks.
+    ``exact`` is the exactness contract: ``True`` always runs the exact
+    top-k (single-shot or running merge over reference chunks — the
+    reference's external ``KNNKDE`` is exact); ``False`` always takes the
+    TPU ``lax.approx_max_k`` fast path (hardware partial-reduction,
+    measured 9× faster than the exact merge at ~0.98 recall — the missed
+    neighbours are the most distant of the k, whose kernel contribution
+    is negligible for density scoring); ``None``/'auto' picks exact when
+    the problem is under :data:`KNN_EXACT_AUTO_PAIRS` pairs.  Off-TPU the
+    exact path always runs.
     """
     x = jnp.asarray(x, jnp.float32)
     data = jnp.asarray(data, jnp.float32)
@@ -247,8 +266,9 @@ def knn_sq_dists(x, data, k: int, chunk: int = 4096,
     data = data - center
     n = data.shape[0]
     k = min(k, n)
+    exact = resolve_knn_exact(exact, x.shape[0], n)
 
-    if _use_pallas():   # i.e. running on TPU
+    if _use_pallas() and not exact:   # TPU approx fast path
         # tile queries so each (q_tile, n) block stays within ~512 MB
         budget_rows = max(int((512 << 20) // (4 * max(n, 1))), 256)
         q_tile = 1 << (budget_rows.bit_length() - 1)
@@ -292,11 +312,12 @@ def knn_sq_dists(x, data, k: int, chunk: int = 4096,
     return best
 
 
-def knn_kde_density(x, data, h: float, k: int):
+def knn_kde_density(x, data, h: float, k: int, exact=None):
     """Gaussian-kernel density truncated to the k nearest references —
-    converges to the exact KDE as ``k → n``."""
+    converges to the exact KDE as ``k → n``.  ``exact`` as in
+    :func:`knn_sq_dists`."""
     n, d = data.shape
-    sqd = knn_sq_dists(x, data, k)
+    sqd = knn_sq_dists(x, data, k, exact=exact)
     gamma = 1.0 / (2.0 * h * h)
     log_kernel_sum = jax.nn.logsumexp(-sqd * gamma, axis=1)
     return jnp.exp(log_kernel_sum + _log_norm_const(n, d, h))
@@ -353,7 +374,7 @@ def kde_logpdf_sharded(x, data, h: float, mesh, axis: str = 'dp'):
 
 
 def knn_sq_dists_sharded(x, data, k: int, mesh, axis: str = 'dp',
-                         recall_target: float = 0.95):
+                         recall_target: float = 0.95, exact=None):
     """(B, k) smallest squared distances with the reference corpus sharded
     over ``mesh[axis]``: each device runs a local (approx on TPU, exact
     elsewhere) top-k over its shard, the per-device candidates are
@@ -380,7 +401,7 @@ def knn_sq_dists_sharded(x, data, k: int, mesh, axis: str = 'dp',
     data_p = jnp.pad(data, ((0, npad - n), (0, 0)))
     shard = npad // n_dev
     kk = min(k, shard)
-    on_tpu = _use_pallas()
+    on_tpu = _use_pallas() and not resolve_knn_exact(exact, x.shape[0], n)
 
     def local(xl, dl):
         start = jax.lax.axis_index(axis) * shard
@@ -412,11 +433,12 @@ def knn_sq_dists_sharded(x, data, k: int, mesh, axis: str = 'dp',
 
 
 def knn_kde_density_sharded(x, data, h: float, k: int, mesh,
-                            axis: str = 'dp'):
+                            axis: str = 'dp', exact=None):
     """:func:`knn_kde_density` with the reference corpus sharded over the
-    mesh; matches the single-device numerics (up to approx-top-k recall)."""
+    mesh; matches the single-device numerics (up to approx-top-k recall
+    when ``exact`` resolves False)."""
     n, d = data.shape
-    sqd = knn_sq_dists_sharded(x, data, k, mesh, axis=axis)
+    sqd = knn_sq_dists_sharded(x, data, k, mesh, axis=axis, exact=exact)
     gamma = 1.0 / (2.0 * h * h)
     log_kernel_sum = jax.nn.logsumexp(-sqd * gamma, axis=1)
     return jnp.exp(log_kernel_sum + _log_norm_const(n, d, h))

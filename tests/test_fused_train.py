@@ -711,10 +711,12 @@ def test_whole_fit_mcdropout(tmp_path):
 def test_whole_fit_failure_falls_back(tmp_path, monkeypatch):
     """An injected whole-fit dispatch failure (the compile-OOM shape seen
     on-chip) must not kill the fit: the trainer latches whole-fit off for
-    the process and completes the identical fit on the per-epoch kernel
-    path, preserving the packed Adam state."""
+    that PROGRAM SHAPE, surfaces the fallback in the metrics, and
+    completes the identical fit on the per-epoch kernel path, preserving
+    the packed Adam state.  Differently-shaped programs still get the
+    whole-fit path (the latch is per-shape, not process-global)."""
     from nnueehcs_tpu.training.trainer import Trainer
-    monkeypatch.setattr(Trainer, '_whole_fit_broken', False)
+    monkeypatch.setattr(Trainer, '_whole_fit_broken_shapes', set())
     real_jit = jax.jit
 
     def sabotaged_jit(fun, *a, **k):
@@ -727,14 +729,19 @@ def test_whole_fit_failure_falls_back(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, 'jit', sabotaged_jit)
     m_f, tr_f, vls_f = _fit_traj(tmp_path, True, 'fb')
     monkeypatch.setattr(jax, 'jit', real_jit)
-    assert Trainer._whole_fit_broken
+    assert Trainer._whole_fit_broken_shapes
     assert tr_f.whole_fit_dispatches == 0
     assert tr_f.fused_epochs_used == 4
-    # a later fit in the same process must not attempt whole-fit again
+    # the degradation is visible to the trial record, not just stderr
+    assert tr_f.callback_metrics.get('whole_fit_fallback') == 1.0
+    # a later fit with the SAME program shape must not attempt it again
     m_2, tr_2, vls_2 = _fit_traj(tmp_path, True, 'fb2')
     assert tr_2.whole_fit_dispatches == 0
+    # ... but a DIFFERENT shape (longer epoch budget) still engages
+    m_3, tr_3, vls_3 = _fit_traj(tmp_path, True, 'fb3', epochs=5)
+    assert tr_3.whole_fit_dispatches == 1
     # the degraded fit is numerically identical to the per-epoch path
-    monkeypatch.setattr(Trainer, '_whole_fit_broken', False)
+    monkeypatch.setattr(Trainer, '_whole_fit_broken_shapes', set())
     m_e, tr_e, vls_e = _fit_traj(tmp_path, False, 'eb')
     np.testing.assert_allclose(vls_f, vls_e, rtol=0, atol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(m_f.params),

@@ -77,3 +77,41 @@ def test_kde_pallas_matches_xla(data):
     xla = np.asarray(kde_logpdf_xla(q, ref, h))
     pallas = np.asarray(kde_logpdf_pallas(q, ref, h))
     assert np.allclose(pallas, xla, atol=1e-3)
+
+def test_knn_exact_contract(data):
+    """The exactness contract (VERDICT r3 #6): exact=True pins the
+    reference KNNKDE's exact-neighbour semantics at the 1e-5 parity bar;
+    'auto' resolves by problem size."""
+    from nnueehcs_tpu.ops.kde import (KNN_EXACT_AUTO_PAIRS,
+                                      resolve_knn_exact)
+    ref, q = data
+    k = 10
+    got = np.sort(np.asarray(knn_sq_dists(q, ref, k, exact=True)), axis=1)
+    full = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    expected = np.sort(full, axis=1)[:, :k]
+    assert np.allclose(got, expected, atol=1e-5)
+    # density through the exact path hits the same bar
+    h = bandwidth_value('scott', *ref.shape)
+    dens = np.asarray(knn_kde_density(q, ref, h, k=len(ref), exact=True))
+    full_logpdf = np.asarray(kde_logpdf_xla(q, ref, h))
+    assert np.allclose(dens, np.exp(full_logpdf), rtol=1e-5, atol=1e-12)
+    # auto rule: exact below the pair threshold, approx above, and the
+    # explicit settings always win
+    assert resolve_knn_exact('auto', 1000, 1000)
+    assert resolve_knn_exact(None, 1000, 1000)
+    assert not resolve_knn_exact('auto', 1 << 14, 1 << 14)
+    assert resolve_knn_exact(True, 1 << 14, 1 << 14)
+    assert not resolve_knn_exact(False, 8, 8)
+    assert KNN_EXACT_AUTO_PAIRS == 1 << 26
+
+
+def test_knn_exact_knob_threads_from_config():
+    """uq_config.knn_exact reaches the model through the builder."""
+    from nnueehcs_tpu.model_builder import KNNKDEModelBuilder
+    arch = [{'Linear': {'args': [3, 16]}}, {'ReLU': {}},
+            {'Linear': {'args': [16, 1]}}]
+    model = KNNKDEModelBuilder(
+        arch, {'k': 5, 'knn_exact': True},
+        train_config={'loss': 'l1_loss'}).build()
+    assert model.knn_exact is True
+    assert model.config_dict()['knn_exact'] is True

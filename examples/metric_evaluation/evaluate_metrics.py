@@ -157,10 +157,18 @@ def process_benchmark_dataset(composite, config, benchmark, dataset,
 
     results = []
     all_methods = list(composite.get_method_names(benchmark, dataset))
-    methods = [method] if method and method in all_methods else all_methods
-    if method and method not in all_methods:
-        print(f"Warning: Method '{method}' not found for "
-              f'{benchmark}/{dataset}. Available methods: {all_methods}')
+    if method:
+        # an explicit --method that isn't in the tree must NOT fall back
+        # to the other methods: the caller names the output file after the
+        # requested cell, so evaluating whatever is present would bank a
+        # mislabeled artifact (observed with post-re-provision trees)
+        if method not in all_methods:
+            print(f"ERROR: Method '{method}' not found for "
+                  f'{benchmark}/{dataset}. Available methods: {all_methods}')
+            return results
+        methods = [method]
+    else:
+        methods = all_methods
 
     for current_method in methods:
         print(f'\nEvaluating method: {current_method}')
@@ -251,6 +259,10 @@ def evaluate_metrics(results_dir, config_file, benchmark, dataset, method,
             composite, config, current_benchmark, current_dataset,
             evaluators, method, evaluate_all))
 
+    if not rows:
+        # nothing evaluable (e.g. explicit --method absent from the tree):
+        # exit nonzero with no output file rather than banking an empty CSV
+        raise SystemExit(f'no results evaluated; not writing {output}')
     pd.DataFrame(rows, columns=columns).to_csv(output, index=False)
     print(f'\nResults saved to {output}')
 

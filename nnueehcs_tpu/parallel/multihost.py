@@ -35,7 +35,10 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except RuntimeError as e:
-        if 'already' in str(e).lower():
+        # double-init messages vary across jax versions: 'already
+        # initialized' vs 'initialize should only be called once'
+        msg = str(e).lower()
+        if 'already' in msg or 'only be called once' in msg:
             return
         raise
 

@@ -29,7 +29,11 @@ import yaml
               help='Number of mesh slices (= concurrent cells). '
                    'Defaults to the device count.')
 @click.option('--retries', default=3, type=int)
-def main(config, output, slices, retries):
+@click.option('--cells', default=None,
+              help='Comma-separated bench:method:dataset filter (same '
+                   'syntax as workflow_driver); default = the full '
+                   'benchmarks x uq_methods x splits product')
+def main(config, output, slices, retries, cells):
     import jax
     from nnueehcs_tpu.driver import run_bo_experiment
 
@@ -44,9 +48,20 @@ def main(config, output, slices, retries):
                      for i in range(n_slices)]
     print(f'{len(devices)} devices -> {n_slices} slices of {per_slice}')
 
-    benches = list(config_data['benchmarks'].keys())
-    uq_methods = list(config_data['uq_methods'].keys())
-    cells = list(product(benches, uq_methods, ['tails', 'gaps']))
+    if cells:
+        cell_list = [tuple(c.split(':')) for c in cells.split(',')]
+        for b, m, d in cell_list:
+            if b not in config_data['benchmarks'] or \
+                    m not in config_data['uq_methods'] or \
+                    d not in ('tails', 'gaps'):
+                raise click.BadParameter(
+                    f'unknown cell {b}:{m}:{d} (order is '
+                    f'bench:method:dataset)')
+        cells = cell_list
+    else:
+        benches = list(config_data['benchmarks'].keys())
+        uq_methods = list(config_data['uq_methods'].keys())
+        cells = list(product(benches, uq_methods, ['tails', 'gaps']))
 
     # slices are leased from a pool, not assigned by submission index —
     # otherwise a fast cell's worker could start the next queued cell on a

@@ -1,0 +1,198 @@
+"""Fused-ensemble eval kernel variants — round-4 perf experiment.
+
+The r3 headline is the f32 fused kernel at 25M samples/s. Padded-FLOP
+accounting says that is ~94% of the v5e *f32* MXU roofline (481 GFLOP
+padded per 262k-row pass / 10.4 ms = 46 TFLOP/s vs ~49 TFLOP/s f32 peak)
+— i.e. the kernel is compute-bound at f32 rate, and the untried lever
+(VERDICT r3 item 4) is running the GEMM operands in bf16 (~4x MXU rate,
+197 TFLOP/s peak). This script measures, on one chip:
+
+  A  f32, tile 512 (the r3 headline path, control)
+  B  bf16 GEMM operands, tile 512 (existing compute_dtype path)
+  C  bf16, tile 1024 (half the grid steps, VMEM still fits)
+  D  bf16, tile 512, packed single output (mean+std share one (B,128)
+     f32 buffer -> halves the 268 MB/pass HBM write traffic)
+  E  bf16, tile 1024, packed output
+  F  f32, tile 1024 (control: is tile or dtype the lever?)
+
+plus numerics: max |mean_bf16 - mean_f32| and std deviation vs the f32
+path on the same weights.
+
+Usage:  python experiments/grid_r4/kernel_variants.py [--batch N] [--reps R]
+"""
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nnueehcs_tpu.ops import fused_ensemble as fe
+
+
+def packed_kernel(x_ref, *refs, num_members, num_layers, relus, out_dim,
+                  compute_dtype='float32'):
+    """Same math as fe._fused_kernel but mean/std are packed into ONE
+    (tile, 128) f32 output: lanes [0:out_dim) = mean, [out_dim:2*out_dim)
+    = std."""
+    w_refs = refs[:num_layers]
+    b_refs = refs[num_layers:2 * num_layers]
+    out_ref = refs[2 * num_layers]
+
+    cdt = jnp.dtype(compute_dtype)
+    x = x_ref[:].astype(cdt)
+
+    def member_forward(m):
+        h = x
+        for l in range(num_layers):
+            h = jnp.dot(h, w_refs[l][m], preferred_element_type=jnp.float32)
+            h = h + b_refs[l][m]
+            if relus[l]:
+                h = jnp.maximum(h, 0.0)
+            if l + 1 < num_layers:
+                h = h.astype(cdt)
+        return h.astype(jnp.float32)
+
+    c = member_forward(0)
+    s1 = jnp.zeros((x.shape[0], 128), jnp.float32)
+    s2 = jnp.zeros((x.shape[0], 128), jnp.float32)
+    for m in range(1, num_members):
+        d = member_forward(m) - c
+        s1 = s1 + d
+        s2 = s2 + d * d
+    mean, std = fe._shifted_stats(s1, s2, c, num_members)
+    col = jax.lax.broadcasted_iota(jnp.int32, mean.shape, 1)
+    # std shifted up by out_dim lanes; mean in the low lanes
+    std_shift = jnp.concatenate(
+        [jnp.zeros((x.shape[0], out_dim), jnp.float32),
+         std[:, :128 - out_dim]], axis=1)
+    out_ref[:] = jnp.where(col < out_dim, mean, std_shift)
+
+
+@functools.partial(jax.jit, static_argnames=('num_members', 'relus',
+                                             'out_dim', 'tile',
+                                             'compute_dtype'))
+def packed_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
+                   compute_dtype='float32'):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bpad, dpad = x_pad.shape
+    num_layers = len(ws)
+    grid = (bpad // tile,)
+    in_specs = [pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0,) * 3,
+                                     memory_space=pltpu.VMEM))
+    for b in bs:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,) * 2,
+                                     memory_space=pltpu.VMEM))
+    kernel = functools.partial(
+        packed_kernel, num_members=num_members, num_layers=num_layers,
+        relus=relus, out_dim=out_dim, compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
+    )(x_pad, *ws, *bs)
+    return out[:, :out_dim], out[:, out_dim:2 * out_dim]
+
+
+def time_variant(fn, sync, reps, trials):
+    for _ in range(3):
+        sync(fn())
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(trials):
+            out = fn()
+        sync(out)
+        times.append((time.perf_counter() - t0) / trials)
+    ts = sorted(times)
+    trim = len(ts) // 5
+    core = ts[trim:len(ts) - trim] if len(ts) > 2 * trim + 1 else ts
+    med = float(np.median(times))
+    return med, 100.0 * (core[-1] - core[0]) / med
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=262144)
+    ap.add_argument('--reps', type=int, default=15)
+    ap.add_argument('--trials', type=int, default=10)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship
+    model = _flagship(num_models=8)
+    net, params, state = model.net, model.params, model.state
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(args.batch, 5)), jnp.float32)
+
+    folded = fe.fold_ensemble_params(net, params, state)
+    out_dim = folded[-1][0].shape[-1]
+    M = folded[0][0].shape[0]
+
+    def build(dtype):
+        ws, bs, relus = fe._pad_folded(folded, M, compute_dtype=dtype)
+        return ([jax.device_put(w) for w in ws],
+                [jax.device_put(b) for b in bs], tuple(relus))
+
+    ws32, bs32, relus = build(jnp.float32)
+    ws16, bs16, _ = build(jnp.bfloat16)
+    dpad = ws32[0].shape[1]
+
+    bpad = -(-args.batch // 1024) * 1024
+    x_p = jnp.zeros((bpad, dpad), jnp.float32)
+    x_p = x_p.at[:args.batch, :x.shape[1]].set(x)
+
+    def sync(out):
+        np.asarray(out[0][:1])
+        np.asarray(out[1][:1])
+
+    def split_fn(ws, bs, tile, cdt):
+        return lambda: fe._fused_forward(x_p, tuple(ws), tuple(bs), M,
+                                         relus, out_dim, tile,
+                                         compute_dtype=cdt)
+
+    def packed_fn(ws, bs, tile, cdt):
+        return lambda: packed_forward(x_p, tuple(ws), tuple(bs), M,
+                                      relus, out_dim, tile,
+                                      compute_dtype=cdt)
+
+    variants = [
+        ('A f32 t512 split', split_fn(ws32, bs32, 512, 'float32')),
+        ('B bf16 t512 split', split_fn(ws16, bs16, 512, 'bfloat16')),
+        ('C bf16 t1024 split', split_fn(ws16, bs16, 1024, 'bfloat16')),
+        ('D bf16 t512 packed', packed_fn(ws16, bs16, 512, 'bfloat16')),
+        ('E bf16 t1024 packed', packed_fn(ws16, bs16, 1024, 'bfloat16')),
+        ('F f32 t1024 split', split_fn(ws32, bs32, 1024, 'float32')),
+        ('G f32 t1024 packed', packed_fn(ws32, bs32, 1024, 'float32')),
+    ]
+
+    # numerics first (also warms the compiles)
+    ref_m, ref_s = variants[0][1]()
+    ref_m, ref_s = np.asarray(ref_m[:args.batch]), np.asarray(ref_s[:args.batch])
+    for name, fn in variants[1:]:
+        m, s = fn()
+        m, s = np.asarray(m[:args.batch]), np.asarray(s[:args.batch])
+        dm = np.max(np.abs(m - ref_m)) / (np.max(np.abs(ref_m)) + 1e-30)
+        ds = np.max(np.abs(s - ref_s)) / (np.max(np.abs(ref_s)) + 1e-30)
+        print(f'# numerics {name}: rel max |dmean|={dm:.2e} |dstd|={ds:.2e}')
+
+    for name, fn in variants:
+        med, spread = time_variant(fn, sync, args.reps, args.trials)
+        tp = args.batch / med
+        print(f'{name}: {med * 1e3:.3f} ms/pass  {tp / 1e6:.2f}M samples/s  '
+              f'spread {spread:.1f}%')
+
+
+if __name__ == '__main__':
+    main()

@@ -136,8 +136,18 @@ class DeltaUQMLP(WrappedModelBase):
     def _anchored_stats(self, params, state, x, anchors, n_anchors):
         """Mean/std over ``n_anchors`` anchored passes, vmapped over the
         anchor axis in memory-bounded groups (replaces the reference's
-        python loop in the external package)."""
+        python loop in the external package).  On the stateful eval path
+        (TPU, fusable arch) the whole computation runs as one Pallas
+        kernel with the anchor loop on-chip — see ops/fused_anchored.py."""
         B = x.shape[0]
+
+        if getattr(self, '_fused_active', False) and x.ndim == 2 \
+                and min(n_anchors, anchors.shape[0]) >= 2:
+            from ..ops.fused_anchored import fused_anchored_stats
+            mean, std = fused_anchored_stats(self._fused_cache, x,
+                                             anchors, n_anchors)
+            spread = std * std if self.estimator == 'var' else std
+            return mean.astype(x.dtype), spread.astype(x.dtype)
 
         def group_preds(a_group):
             def one_anchor(a):
@@ -203,6 +213,36 @@ class DeltaUQMLP(WrappedModelBase):
     def eval_buffers(self):
         # anchors ride the jit cache as program arguments (see base)
         return () if self._anchors is None else (self._anchors,)
+
+    def invalidate_cache(self):
+        super().invalidate_cache()
+        self._fused_cache = None
+
+    def __call__(self, x, return_ue: bool = False):
+        """Stateful eval: routes the anchored mean/std through the fused
+        VMEM-resident kernel when the architecture allows (mirrors
+        EnsembleModel.__call__ — the folded weights bake the parameter
+        version, so the cache and the traces embedding it are dropped
+        whenever params/state are replaced).  Traced training/validation
+        passes never see the fused path: ``_fused_active`` is only set
+        here, and validation_loss runs with live traced parameters."""
+        self._fused_active = False
+        if self.initialized:
+            cache = getattr(self, '_fused_cache', None)
+            if cache is not None and cache.stale_for(self.params, self.state):
+                self.invalidate_cache()   # also clears _fused_cache
+                cache = None
+            if cache is None and self._use_fused_eval():
+                from ..ops.fused_anchored import prepare_fused_anchored
+                cache = prepare_fused_anchored(self.net, self.params,
+                                               self.state)
+                self._fused_cache = cache
+            self._fused_active = (cache is not None and cache.folded
+                                  and self._use_fused_eval())
+        try:
+            return super().__call__(x, return_ue=return_ue)
+        finally:
+            self._fused_active = False
 
     def eval_with_buffers(self, params, state, buffers, x, rng,
                           return_ue: bool = False):

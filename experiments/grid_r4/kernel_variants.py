@@ -127,7 +127,12 @@ def main():
     ap.add_argument('--batch', type=int, default=262144)
     ap.add_argument('--reps', type=int, default=15)
     ap.add_argument('--trials', type=int, default=10)
+    ap.add_argument('--anchored', action='store_true',
+                    help='also run the anchored fused-vs-vmap bench')
     args = ap.parse_args()
+    if args.anchored:
+        anchored_bench()
+        return
 
     from __graft_entry__ import _flagship
     model = _flagship(num_models=8)
@@ -196,3 +201,67 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def anchored_bench(batch=65536, anchors=229, reps=7, trials=5):
+    """Anchored eval: fused kernel vs the vmap path at the bench.py
+    delta_uq workload shape (the flagship cell's cost driver)."""
+    from nnueehcs_tpu.model_builder import DeltaUQMLPModelBuilder
+    from nnueehcs_tpu.ops import fused_anchored as fa
+    arch = [{'Linear': {'args': [5, 128]}},
+            {'BatchNorm1d': {'args': [128]}}, {'ReLU': {}}]
+    for _ in range(5):
+        arch += [{'Linear': {'args': [128, 128]}},
+                 {'BatchNorm1d': {'args': [128]}}, {'ReLU': {}}]
+    arch.append({'Linear': {'args': [128, 1]}})
+    model = DeltaUQMLPModelBuilder(
+        arch, {'estimator': 'std', 'num_anchors': anchors,
+               'anchored_batch_size': anchors},
+        train_config={'loss': 'l1_loss'}).build()
+    rng = np.random.default_rng(2)
+    model.anchors = rng.normal(size=(anchors, 5)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(batch, 5)), jnp.float32)
+
+    def sync(out):
+        np.asarray(out[0][:1]); np.asarray(out[1][:1])
+
+    # vmap path (fused disabled)
+    import os
+    os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
+    fn_vmap = lambda: model(x, return_ue=True)
+    med_v, spread_v = time_variant(fn_vmap, sync, reps, trials)
+    del os.environ['NNUEEHCS_TPU_NO_FUSED']
+
+    # fused kernel (f32 and bf16)
+    model.invalidate_cache()
+    fn_fused = lambda: model(x, return_ue=True)
+    med_f, spread_f = time_variant(fn_fused, sync, reps, trials)
+    assert getattr(model, '_fused_cache', None) is not None \
+        and model._fused_cache.folded, 'fused anchored path did not engage'
+
+    model.set_precision('bf16-mixed')
+    model.anchors = rng.normal(size=(anchors, 5)).astype(np.float32)
+    model.invalidate_cache()
+    med_b, spread_b = time_variant(fn_fused, sync, reps, trials)
+
+    ar = batch * anchors
+    for name, med, sp in [('vmap', med_v, spread_v),
+                          ('fused f32', med_f, spread_f),
+                          ('fused bf16', med_b, spread_b)]:
+        print(f'anchored {name}: {med * 1e3:.2f} ms/pass  '
+              f'{batch / med / 1e6:.2f}M samples/s  '
+              f'{ar / med / 1e6:.0f}M anchored rows/s  spread {sp:.1f}%')
+
+    # numerics fused f32 vs vmap at this shape
+    model.set_precision('32-true')
+    model.anchors = np.asarray(model.anchors, np.float32)
+    model.invalidate_cache()
+    os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
+    rm, rs = model(x[:8192], return_ue=True)
+    del os.environ['NNUEEHCS_TPU_NO_FUSED']
+    model.invalidate_cache()
+    fm, fs = model(x[:8192], return_ue=True)
+    dm = float(np.max(np.abs(np.asarray(fm) - np.asarray(rm))))
+    ds = float(np.max(np.abs(np.asarray(fs) - np.asarray(rs))))
+    print(f'# anchored numerics fused-f32 vs vmap: max|dmean|={dm:.2e} '
+          f'max|dstd|={ds:.2e}')

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 chip window, chained behind the minibude queue:
+#   1. rerun puma x knn_kde x tails (cell-21 artifacts lost to the r3
+#      host re-provision) at the reference config_kde budget;
+#   2. fused-eval kernel variant measurements (bf16/tile/packed ensemble
+#      variants + anchored fused-vs-vmap) — the VERDICT r3 item-4 data;
+#   3. launch the flagship binomial_options x delta_uq x tails cell via
+#      the workflow driver with --restart; with the fused anchored eval
+#      kernel this is the first round where the cell could complete
+#      inside one session.  It runs until stopped (stop_grid.sh-style
+#      exact-pid walk via /tmp/flagship.pid).
+set -u
+cd "$(dirname "$0")/../.."
+G=experiments/grid_r4
+
+# wait for the minibude driver queue to drain
+while ! grep -q R4_MINIBUDE_DONE $G/driver_minibude.log 2>/dev/null; do
+    sleep 60
+done
+
+python examples/bo_driven/workflow_driver.py \
+  --config examples/bo_driven/config_kde.yaml \
+  --output experiments/full_cell/results \
+  --rundir $G/rundir \
+  --max_tasks 1 \
+  --cells puma:knn_kde:tails \
+  >> $G/driver_puma_rerun.log 2>&1
+echo R4_PUMA_RERUN_DONE >> $G/driver_puma_rerun.log
+
+python experiments/grid_r4/kernel_variants.py \
+  > $G/kernel_variants.out 2> $G/kernel_variants.err
+python experiments/grid_r4/kernel_variants.py --anchored \
+  >> $G/kernel_variants.out 2>> $G/kernel_variants.err
+echo VARIANTS_DONE >> $G/kernel_variants.out
+
+python examples/bo_driven/workflow_driver.py \
+  --config examples/bo_driven/config.yaml \
+  --output experiments/full_cell/results \
+  --rundir $G/rundir \
+  --max_tasks 1 \
+  --cells binomial_options:delta_uq:tails \
+  >> $G/driver_flagship.log 2>&1 &
+echo $! > /tmp/flagship.pid
+wait
+echo R4_FLAGSHIP_EXITED >> $G/driver_flagship.log

@@ -33,6 +33,24 @@ python experiments/grid_r4/kernel_variants.py --anchored \
   >> $G/kernel_variants.out 2>> $G/kernel_variants.err
 echo VARIANTS_DONE >> $G/kernel_variants.out
 
+# delta_uq evalmetrics on-chip (minutes each with the fused anchored
+# kernel vs hours on the 1-core host); skip any the CPU queue already
+# banked.  Same cells as run_posthoc_cpu.sh (bench:method:dataset).
+for cell in ailerons:delta_uq:tails ailerons:delta_uq:gaps \
+            puma:delta_uq:tails puma:delta_uq:gaps; do
+    IFS=: read -r b m d <<< "$cell"
+    out="$G/artifacts/evalmetrics_${b}_${d}_${m}.csv"
+    [ -f "$out" ] && { echo "skip $cell (exists)" >> $G/posthoc_chip.log; continue; }
+    python examples/metric_evaluation/evaluate_metrics.py \
+        --results_dir experiments/full_cell/results \
+        --config_file examples/bo_driven/config_full.yaml \
+        --benchmark "$b" --dataset "$d" --method "$m" \
+        --output "$out" \
+        >> $G/posthoc_chip.log 2>&1 \
+        || echo "FAILED $cell" >> $G/posthoc_chip.log
+done
+echo POSTHOC_CHIP_DONE >> $G/posthoc_chip.log
+
 python examples/bo_driven/workflow_driver.py \
   --config examples/bo_driven/config.yaml \
   --output experiments/full_cell/results \

@@ -138,42 +138,61 @@ def prepare_fused_anchored(net, params, state) -> AnchoredCache:
                          compute_dtype=cdt.name)
 
 
-def _anchored_kernel(x_ref, w0_ref, b0_ref, v_ref, *refs, num_anchors,
-                     num_layers, relus, relu0, compute_dtype='float32'):
+def _anchored_kernel(x_ref, w0_ref, b0_ref, v_ref, *refs, num_layers,
+                     relus, relu0, compute_dtype='float32'):
+    """Grid = (batch tiles, anchors): the anchor loop rides the SECOND
+    grid dimension (sequential on TPU, anchors innermost), with the
+    shared layer-0 ``u``, the shift reference ``c`` and the running
+    shifted sums living in scratch across anchor steps.  Dynamic VMEM
+    row indexing (``dynamic_slice``) is not lowerable in Pallas TPU
+    kernels — the per-anchor ``v`` row arrives as a (1, 128) grid block
+    via its BlockSpec index map instead."""
+    from jax.experimental import pallas as pl
+
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers:2 * num_layers]
     mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
+    u_scr, c_scr, s1_scr, s2_scr = refs[2 * num_layers + 2:]
 
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
     cdt = jnp.dtype(compute_dtype)
-    x = x_ref[:].astype(cdt)                          # (TILE, dpad)
-    # shared x-part of layer 0 — ONE GEMM per tile for all anchors
-    u = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) \
-        + b0_ref[:]                                   # (TILE, 128) f32
-    v = v_ref[:]                                      # (K_pad, 128) f32
 
-    def tail_forward(h0):
-        h = jnp.maximum(h0, 0.0) if relu0 else h0
-        for l in range(num_layers):
-            h = jnp.dot(h.astype(cdt), w_refs[l][:],
-                        preferred_element_type=jnp.float32)
-            h = h + b_refs[l][:]
-            if relus[l]:
-                h = jnp.maximum(h, 0.0)
-        return h
+    @pl.when(j == 0)
+    def _():
+        # shared x-part of layer 0 — ONE GEMM per batch tile, reused by
+        # every anchor step
+        x = x_ref[:].astype(cdt)                      # (TILE, dpad)
+        u_scr[:] = jnp.dot(x, w0_ref[:],
+                           preferred_element_type=jnp.float32) + b0_ref[:]
+        s1_scr[:] = jnp.zeros_like(s1_scr)
+        s2_scr[:] = jnp.zeros_like(s2_scr)
 
-    c = tail_forward(u + v[0][None, :])               # shift reference
+    h = u_scr[:] + v_ref[:].reshape(1, 128)           # (TILE, 128) f32
+    if relu0:
+        h = jnp.maximum(h, 0.0)
+    for l in range(num_layers):
+        h = jnp.dot(h.astype(cdt), w_refs[l][:],
+                    preferred_element_type=jnp.float32)
+        h = h + b_refs[l][:]
+        if relus[l]:
+            h = jnp.maximum(h, 0.0)
 
-    def body(j, carry):
-        s1, s2 = carry
-        vj = jax.lax.dynamic_slice_in_dim(v, j, 1, axis=0)
-        d = tail_forward(u + vj) - c
-        return s1 + d, s2 + d * d
+    @pl.when(j == 0)
+    def _():
+        c_scr[:] = h
 
-    zeros = jnp.zeros((x.shape[0], 128), jnp.float32)
-    s1, s2 = jax.lax.fori_loop(1, num_anchors, body, (zeros, zeros))
-    mean, std = _shifted_stats(s1, s2, c, num_anchors)
-    mean_ref[:] = mean
-    std_ref[:] = std
+    @pl.when(j > 0)
+    def _():
+        d = h - c_scr[:]
+        s1_scr[:] = s1_scr[:] + d
+        s2_scr[:] = s2_scr[:] + d * d
+
+    @pl.when(j == n_j - 1)
+    def _():
+        mean, std = _shifted_stats(s1_scr[:], s2_scr[:], c_scr[:], n_j)
+        mean_ref[:] = mean
+        std_ref[:] = std
 
 
 @functools.partial(jax.jit, static_argnames=('num_anchors', 'relus',
@@ -185,39 +204,51 @@ def _anchored_forward(x_pad, w0x, b0, v_pad, ws, bs, num_anchors, relus,
     from jax.experimental.pallas import tpu as pltpu
 
     bpad, dpad = x_pad.shape
-    kpad = v_pad.shape[0]
     num_layers = len(ws)
-    grid = (bpad // tile,)
+    # anchors ride the second (innermost, sequential) grid dimension;
+    # scratch carries u/c/s1/s2 across anchor steps within a batch tile
+    grid = (bpad // tile, num_anchors)
 
     in_specs = [
-        pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+        pl.BlockSpec((tile, dpad), lambda i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(w0x.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(b0.shape, lambda i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kpad, 128), lambda i: (0, 0),
+        pl.BlockSpec(w0x.shape, lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(b0.shape, lambda i, j: (0,),
+                     memory_space=pltpu.VMEM),
+        # one anchor row per anchor grid step; the (1, 1, 128) block keeps
+        # the last two dims equal to the array's (TPU sublane constraint
+        # forbids a bare (1, 128) block of a (k, 128) array)
+        pl.BlockSpec((1, 1, 128), lambda i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for w in ws:
-        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec(w.shape, lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
     for b in bs:
-        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0,),
+        in_specs.append(pl.BlockSpec(b.shape, lambda i, j: (0,),
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
-        _anchored_kernel, num_anchors=num_anchors, num_layers=num_layers,
+        _anchored_kernel, num_layers=num_layers,
         relus=relus, relu0=relu0, compute_dtype=compute_dtype)
 
     mean, std = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((tile, 128), lambda i: (i, 0),
+        out_specs=(pl.BlockSpec((tile, 128), lambda i, j: (i, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                   pl.BlockSpec((tile, 128), lambda i, j: (i, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, 128), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 128), jnp.float32),   # u
+            pltpu.VMEM((tile, 128), jnp.float32),   # c (shift reference)
+            pltpu.VMEM((tile, 128), jnp.float32),   # s1
+            pltpu.VMEM((tile, 128), jnp.float32),   # s2
+        ],
     )(x_pad, w0x, b0, v_pad, *ws, *bs)
     return mean[:, :out_dim], std[:, :out_dim]
 
@@ -234,9 +265,8 @@ def fused_anchored_stats(cache: AnchoredCache, x, anchors, n_anchors: int):
     # full f32 (anchor offsets feed every downstream layer)
     v = jnp.dot(a.astype(jnp.float32), cache.w0d,
                 precision='highest')                    # (k, width0)
-    kpad = _round_up(k, 8)
-    v_pad = jnp.zeros((kpad, 128), jnp.float32)
-    v_pad = v_pad.at[:k, :v.shape[1]].set(v)
+    v_pad = jnp.zeros((k, 1, 128), jnp.float32)
+    v_pad = v_pad.at[:, 0, :v.shape[1]].set(v)
 
     b = x.shape[0]
     bpad, tile = _plan_rows(max(b, 1))

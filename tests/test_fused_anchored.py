@@ -148,3 +148,25 @@ def test_stateful_eval_path_gates_fused(monkeypatch):
     pred, ue = model(x, return_ue=True)
     assert not getattr(model, '_fused_active')
     assert pred.shape == (8, 1) and ue.shape == (8, 1)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='compiled Pallas lowering requires TPU')
+def test_fused_anchored_compiles_on_tpu():
+    """REAL hardware lowering check: interpret mode accepts primitives the
+    TPU compiler rejects (dynamic_slice burned a live grid cell in r4), so
+    the kernel must compile and match the vmap path on-chip."""
+    model = _build(num_anchors=12, width=128, depth=6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2048, 5)), jnp.float32)
+    import os
+    os.environ['NNUEEHCS_TPU_NO_FUSED'] = '1'
+    try:
+        rm, rs = model(x, return_ue=True)
+    finally:
+        del os.environ['NNUEEHCS_TPU_NO_FUSED']
+    model.invalidate_cache()
+    fm, fs = model(x, return_ue=True)
+    assert model._fused_cache is not None and model._fused_cache.folded
+    np.testing.assert_allclose(np.asarray(fm), np.asarray(rm), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(rs), atol=5e-4)

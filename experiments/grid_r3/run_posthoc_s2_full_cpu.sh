@@ -3,7 +3,7 @@
 # (ailerons/puma/airfoil ensemble + mc_dropout), while the grid owns the
 # chip.  Re-runnable: skips cells whose output CSV already exists, so it
 # can be invoked again after each new cell lands.  Cells are passed as
-# bench:dataset:method args, or default to the completed ailerons set.
+# bench:method:dataset args (same order as workflow_driver --cells), or default to the completed ailerons set.
 set -u
 cd "$(dirname "$0")/../.."
 G=experiments/grid_r3
@@ -11,9 +11,9 @@ R=experiments/full_cell/results
 CFG=examples/bo_driven/config_full.yaml
 mkdir -p "$G/artifacts"
 
-CELLS=${@:-ailerons:tails:ensemble ailerons:gaps:ensemble ailerons:tails:mc_dropout}
+CELLS=${@:-ailerons:ensemble:tails ailerons:ensemble:gaps ailerons:mc_dropout:tails}
 for cell in $CELLS; do
-    IFS=: read -r b d m <<< "$cell"
+    IFS=: read -r b m d <<< "$cell"
     out="$G/artifacts/evalmetrics_${b}_${d}_${m}.csv"
     [ -f "$out" ] && { echo "skip $cell (exists)"; continue; }
     nice -n 15 python examples/metric_evaluation/evaluate_metrics.py \

@@ -10,9 +10,9 @@ R=experiments/full_cell/results
 CFG=examples/bo_driven/config_kde.yaml
 mkdir -p "$G/artifacts"
 
-for cell in ailerons:tails:kde ailerons:tails:knn_kde \
-            ailerons:gaps:kde ailerons:gaps:knn_kde puma:gaps:knn_kde; do
-    IFS=: read -r b d m <<< "$cell"
+for cell in ailerons:kde:tails ailerons:knn_kde:tails \
+            ailerons:kde:gaps ailerons:knn_kde:gaps puma:knn_kde:gaps; do
+    IFS=: read -r b m d <<< "$cell"
     out="$G/artifacts/evalmetrics_${b}_${d}_${m}.csv"
     [ -f "$out" ] && { echo "skip $cell (exists)"; continue; }
     python examples/metric_evaluation/evaluate_metrics.py \

@@ -43,3 +43,28 @@ else
 fi
 echo "banked $LAST -> $DST"
 ls "$DST"
+
+# Bank the Pareto trials' model bundles too (round-4 addition): two host
+# re-provisions have now destroyed live trees before evaluate_metrics
+# could run over them, and evaluate_metrics only needs the Pareto-optimal
+# models (examples/metric_evaluation/evaluate_metrics.py).  A handful of
+# ~0.5 MB bundles per cell keeps the post-hoc layer re-runnable from the
+# banked artifacts alone.
+if [ -f "$LAST/pareto_parameters.json" ]; then
+    python - "$SRC" "$LAST" "$DST" <<'PYEOF'
+import json, shutil, sys
+from pathlib import Path
+src, last, dst = map(Path, sys.argv[1:4])
+trials = json.load(open(last / 'pareto_parameters.json'))['results'].keys()
+for t in trials:
+    tdir = src / f'bo_trial_{t}'
+    out = dst / 'pareto_models' / f'bo_trial_{t}'
+    out.mkdir(parents=True, exist_ok=True)
+    for f in ('model.pth', 'hparams.yaml'):
+        if (tdir / f).exists():
+            shutil.copy2(tdir / f, out / f)
+        else:
+            print(f'WARN: {tdir / f} missing', file=sys.stderr)
+print(f'banked pareto models for trials {sorted(trials)}')
+PYEOF
+fi

@@ -123,13 +123,19 @@ def _check_widths(folded, out_dim):
     return True
 
 
-def _pad_folded(folded, num_members, compute_dtype=jnp.float32):
+def _pad_folded(folded, num_members, compute_dtype=jnp.float32,
+                slim_first=False):
     """Pad the folded chain to MXU tiles.  Weights are stored in
     ``compute_dtype`` (bf16 puts the GEMM operands on the MXU fast path);
-    biases stay f32 — the bias add rides the f32 accumulator."""
+    biases stay f32 — the bias add rides the f32 accumulator.
+    ``slim_first`` pads the first layer's input dim only to the sublane
+    quantum (16 covers f32 and bf16) instead of 128 — for a 5-feature
+    input that drops the first GEMM's padded FLOPs 8× and shrinks the
+    streamed x_pad rows from 128 to 16 lanes."""
     ws, bs, relus = [], [], []
-    for w, b, relu in folded:
-        in_pad = _round_up(w.shape[-2], 128)
+    for idx, (w, b, relu) in enumerate(folded):
+        in_pad = _round_up(w.shape[-2],
+                           16 if (slim_first and idx == 0) else 128)
         w_p = jnp.zeros((num_members, in_pad, 128), compute_dtype)
         w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(
             w.astype(compute_dtype))
@@ -173,13 +179,41 @@ def _shifted_stats(s1, s2, c, n):
 # fused ensemble evaluation
 # ---------------------------------------------------------------------------
 def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
-                  compute_dtype='float32'):
+                  compute_dtype='float32', order='member'):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers:2 * num_layers]
     mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
 
     cdt = jnp.dtype(compute_dtype)
     x = x_ref[:].astype(cdt)                         # (TILE, d_pad)
+
+    if order == 'layer':
+        # layer-outer interleave: per layer the num_members GEMMs are
+        # independent and issue back-to-back, so the MXU never waits on a
+        # member's serial chain and member m's VPU bias/ReLU overlaps
+        # member m+1's GEMM.  Costs num_members live (TILE, 128) buffers
+        # instead of 3 — still well inside VMEM at tile ≤ 1024.
+        hs = [x] * num_members
+        for l in range(num_layers):
+            hs = [jnp.dot(h, w_refs[l][m],
+                          preferred_element_type=jnp.float32) + b_refs[l][m]
+                  for m, h in enumerate(hs)]
+            if relus[l]:
+                hs = [jnp.maximum(h, 0.0) for h in hs]
+            if l + 1 < num_layers:
+                hs = [h.astype(cdt) for h in hs]
+        finals = [h.astype(jnp.float32) for h in hs]
+        c = finals[0]                                # shift reference
+        s1 = jnp.zeros((x.shape[0], 128), jnp.float32)
+        s2 = jnp.zeros((x.shape[0], 128), jnp.float32)
+        for h in finals[1:]:
+            d = h - c
+            s1 = s1 + d
+            s2 = s2 + d * d
+        mean, std = _shifted_stats(s1, s2, c, num_members)
+        mean_ref[:] = mean
+        std_ref[:] = std
+        return
 
     def member_forward(m):
         h = x
@@ -208,9 +242,9 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
 
 @functools.partial(jax.jit, static_argnames=('num_members', 'relus',
                                              'out_dim', 'tile',
-                                             'compute_dtype'))
+                                             'compute_dtype', 'order'))
 def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
-                   compute_dtype='float32'):
+                   compute_dtype='float32', order='member'):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -229,7 +263,7 @@ def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
 
     kernel = functools.partial(
         _fused_kernel, num_members=num_members, num_layers=num_layers,
-        relus=relus, compute_dtype=compute_dtype)
+        relus=relus, compute_dtype=compute_dtype, order=order)
 
     mean, std = pl.pallas_call(
         kernel,

@@ -325,14 +325,20 @@ def prepare_fused_weights(net, params, state) -> FusedCache:
 
 def fused_forward_prefolded(cache: FusedCache, x):
     """(mean, std) via the fused kernel with pre-folded weights.  Traceable
-    (called inside the model's jitted eval)."""
+    (called inside the model's jitted eval).  The GEMM issue order is
+    env-overridable (``NNUEEHCS_TPU_FUSED_ORDER=member|layer``) for
+    on-chip A/B without a code edit; the default is the variant-sweep
+    winner (see docs/BENCHMARKS.md round-4 sweep)."""
+    import os
     b = x.shape[0]
     bpad, tile = _plan_rows(b)
     x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
     x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
+    order = os.environ.get('NNUEEHCS_TPU_FUSED_ORDER', 'member')
     mean, std = _fused_forward(x_p, cache.ws, cache.bs, cache.num_members,
                                cache.relus, cache.out_dim, tile,
-                               compute_dtype=cache.compute_dtype)
+                               compute_dtype=cache.compute_dtype,
+                               order=order)
     return mean[:b], std[:b]
 
 

@@ -53,4 +53,18 @@ for cell in ailerons:delta_uq:tails ailerons:delta_uq:gaps \
     [ -n "$last" ] && cp "$last/trial_results.csv" \
         "$G/artifacts/trialresults_rerun_${b}_${d}_${m}.csv"
 done
-echo S3_CHIP_WINDOW_DONE >> $G/driver_duq_rerun.log
+echo S3_DUQ_RERUNS_DONE >> $G/driver_duq_rerun.log
+
+# extension cells (VERDICT r3 item 9): mve on a real-data benchmark —
+# run AFTER the grid-closing work; these bank normally (new cells)
+for cell in airfoil:mve:tails airfoil:mve:gaps; do
+    IFS=: read -r b m d <<< "$cell"
+    python examples/bo_driven/workflow_driver.py \
+        --config examples/bo_driven/config_full.yaml \
+        --output $R --rundir $G/rundir --max_tasks 1 \
+        --cells "$cell" >> $G/driver_mve.log 2>&1
+    echo "S3_CELL_DONE $cell" >> $G/driver_mve.log
+    bash experiments/grid_r3/bank_cell.sh "$b" "$m" "$d" \
+        >> $G/bank_s3.log 2>&1 || echo "BANK FAILED $cell" >> $G/bank_s3.log
+done
+echo S3_CHIP_WINDOW_DONE >> $G/driver_mve.log

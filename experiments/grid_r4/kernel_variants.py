@@ -208,6 +208,11 @@ def main():
                                              order='layer')),
         ('K f32 t512 layer-outer slim', slim_fn(512, 'layer')),
         ('L f32 t512 member slim', slim_fn(512, 'member')),
+        # larger tiles: t512->t1024 nudged upward in both sweeps, so probe
+        # the per-grid-step overhead hypothesis further (VMEM still fits:
+        # x 2 MB + 8 live (4096,128) f32 activations 16 MB + weights 4 MB)
+        ('M f32 t2048 split', split_fn(ws32, bs32, 2048, 'float32')),
+        ('N f32 t4096 split', split_fn(ws32, bs32, 4096, 'float32')),
     ]
 
     # numerics first (also warms the compiles); a variant whose block

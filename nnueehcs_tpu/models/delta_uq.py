@@ -232,13 +232,22 @@ class DeltaUQMLP(WrappedModelBase):
             if cache is not None and cache.stale_for(self.params, self.state):
                 self.invalidate_cache()   # also clears _fused_cache
                 cache = None
-            if cache is None and self._use_fused_eval():
+            # The fused anchored kernel is OPT-IN (NNUEEHCS_TPU_FUSED_ANCHORED=1):
+            # the round-4 anchored bench measured the XLA anchor-vmap path
+            # 15% FASTER (430M vs 375M anchored rows/s at the flagship
+            # 65536×229 shape, spreads ≤1.1%) — XLA's loop fusion over the
+            # anchor axis beats the hand kernel here, consistent with the
+            # round-1 negative result (docs/BENCHMARKS.md).
+            import os
+            opt_in = os.environ.get('NNUEEHCS_TPU_FUSED_ANCHORED', '') \
+                not in ('', '0', 'false')
+            if cache is None and opt_in and self._use_fused_eval():
                 from ..ops.fused_anchored import prepare_fused_anchored
                 cache = prepare_fused_anchored(self.net, self.params,
                                                self.state)
                 self._fused_cache = cache
             self._fused_active = (cache is not None and cache.folded
-                                  and self._use_fused_eval())
+                                  and opt_in and self._use_fused_eval())
         try:
             return super().__call__(x, return_ue=return_ue)
         finally:

@@ -157,11 +157,15 @@ def _fits_vmem(ws, bs, tile, dpad) -> bool:
 
 
 def _plan_rows(b_rows):
-    """(bpad, tile) with tile ∈ {256, 512} dividing bpad."""
-    if b_rows % 512 == 0:
-        return b_rows, 512
-    if b_rows % 256 == 0:
-        return b_rows, 256
+    """(bpad, tile) with tile ∈ {1024, 512, 256} dividing bpad.  The
+    round-4 tile sweep (docs/BENCHMARKS.md) measured t1024 ≈ +9% over
+    t512 at the headline shape with spreads ≤2% (fewer grid steps →
+    less per-step overhead; t2048 adds nothing and t4096 fails to
+    compile), so prefer the largest tile the batch covers — the padding
+    waste is ≤ tile−1 rows."""
+    for tile in (1024, 512, 256):
+        if b_rows >= tile:
+            return _round_up(b_rows, tile), tile
     return _round_up(b_rows, 256), 256
 
 
@@ -313,8 +317,12 @@ def prepare_fused_weights(net, params, state) -> FusedCache:
     if not _check_widths(folded, out_dim):
         return FusedCache(False, params, state)
     cdt = jnp.dtype(getattr(net, 'compute_dtype', None) or jnp.float32)
+    # NOTE: slim_first=True was measured SLOWER end-to-end (25.9M vs
+    # 27.1M samples/s model-path, round 4) — the (tile, 16) input block's
+    # narrow per-step DMA costs more than the 2×(B,128) pad traffic it
+    # saves.  Keep the 128-lane pad.
     ws, bs, relus = _pad_folded(folded, num_members, compute_dtype=cdt)
-    if not _fits_vmem(ws, bs, 512, ws[0].shape[1]):
+    if not _fits_vmem(ws, bs, 1024, ws[0].shape[1]):
         return FusedCache(False, params, state)
     ws = [jax.device_put(w) for w in ws]
     bs = [jax.device_put(b) for b in bs]

@@ -150,6 +150,32 @@ def test_stateful_eval_path_gates_fused(monkeypatch):
     assert pred.shape == (8, 1) and ue.shape == (8, 1)
 
 
+def test_fused_anchored_is_opt_in(monkeypatch):
+    """The fused anchored kernel is opt-in (NNUEEHCS_TPU_FUSED_ANCHORED):
+    the round-4 anchored bench measured the XLA anchor-vmap path 15%
+    faster at the flagship shape, so the vmap path is the default even
+    on TPU.  Without the opt-in env, no fused cache may be prepared."""
+    model = _build()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(8, 5)).astype(np.float32)
+    monkeypatch.delenv('NNUEEHCS_TPU_FUSED_ANCHORED', raising=False)
+    # force the TPU-side gate open so only the opt-in decides
+    monkeypatch.setattr(type(model), '_use_fused_eval', lambda self: True)
+    model.invalidate_cache()
+    model(x, return_ue=True)
+    assert getattr(model, '_fused_cache', None) is None
+    # with the opt-in set, the cache is prepared (folded only on real
+    # TPU lowering paths; on CPU prepare may still fold — engagement is
+    # what the production gate controls)
+    monkeypatch.setenv('NNUEEHCS_TPU_FUSED_ANCHORED', '1')
+    model.invalidate_cache()
+    try:
+        model(x, return_ue=True)
+    except Exception:
+        pass   # CPU cannot lower the kernel; preparing the cache is enough
+    assert getattr(model, '_fused_cache', None) is not None
+
+
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='compiled Pallas lowering requires TPU')
 def test_fused_anchored_compiles_on_tpu():

@@ -49,18 +49,18 @@ class DeltaUQMLP(WrappedModelBase):
     #: Cap on the number of anchors used for *validation-loss* passes during
     #: training.  The reference validates through the full ``num_anchors``
     #: anchored eval every epoch (reference ``models.py:313-341`` driven by
-    #: Lightning's ``validation_step``), which at 500 anchors × 12.8k val
-    #: rows × 300 epochs dominates trial wall-clock (~10-35 min/trial
-    #: measured) while contributing nothing to the reported metrics — the
-    #: val loss only drives early-stop/best-checkpoint selection, and the
-    #: anchored *mean* converges with a handful of anchors.  This is a
-    #: documented deviation: validation uses ``min(num_anchors,
-    #: val_num_anchors)`` anchors; set ``val_num_anchors: null`` in the
-    #: uq_config for exact reference behaviour.  The UE/eval path
+    #: Lightning's ``validation_step``), and the out-of-the-box default here
+    #: is the same (``None`` = no cap, reference-faithful numerics).  Setting
+    #: ``val_num_anchors`` (e.g. 16, what the banked experiment grid ran
+    #: with — configs pin it explicitly) caps the validation pass: at 500
+    #: anchors × 12.8k val rows × 300 epochs the full validation dominates
+    #: trial wall-clock (~10-35 min/trial measured) while only steering
+    #: early-stop/best-checkpoint selection — the anchored *mean* converges
+    #: with a handful of anchors (docs/PARITY.md).  The UE/eval path
     #: (``eval_output`` / ``eval_with_buffers`` / timed passes) always uses
     #: the full ``num_anchors`` and is pinned by
     #: ``tests/test_uq_switches.py``.
-    DEFAULT_VAL_NUM_ANCHORS = 16
+    DEFAULT_VAL_NUM_ANCHORS = None
 
     def __init__(self, net, estimator: str = 'std', num_anchors: int = 5,
                  anchored_batch_size=None, val_num_anchors='default',

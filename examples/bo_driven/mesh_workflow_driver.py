@@ -33,8 +33,24 @@ import yaml
               help='Comma-separated bench:method:dataset filter (same '
                    'syntax as workflow_driver); default = the full '
                    'benchmarks x uq_methods x splits product')
-def main(config, output, slices, retries, cells):
+@click.option('--platform', default=None,
+              help="Pin the JAX platform (e.g. 'cpu'). Must be used "
+                   'in-process: site hooks can pre-register an accelerator '
+                   'and ignore the JAX_PLATFORMS env var')
+@click.option('--cpu_devices', default=None, type=int,
+              help='Force N virtual host CPU devices (the '
+                   'xla_force_host_platform_device_count flag, applied '
+                   'before the backend initialises) — with --platform cpu '
+                   'this validates multi-chip slice leasing without N '
+                   'real chips')
+def main(config, output, slices, retries, cells, platform, cpu_devices):
+    if cpu_devices:
+        os.environ['XLA_FLAGS'] = (
+            os.environ.get('XLA_FLAGS', '')
+            + f' --xla_force_host_platform_device_count={cpu_devices}')
     import jax
+    if platform:
+        jax.config.update('jax_platforms', platform)
     from nnueehcs_tpu.driver import run_bo_experiment
 
     with open(config) as f:

@@ -2,7 +2,6 @@
 restartable ``bo.py`` subprocesses (the Parsl/SLURM replacement — reference
 ``examples/bo_driven/workflow_driver.py``), and ``--sbatch`` emits one
 script per cell."""
-import os
 import subprocess
 import sys
 from pathlib import Path
@@ -103,14 +102,17 @@ def test_mesh_workflow_driver_concurrent_slices(grid_config):
     cfg_path, tmp = grid_config
     out = str(tmp / 'mesh_results')
     driver = REPO / 'examples' / 'bo_driven' / 'mesh_workflow_driver.py'
-    env = dict(os.environ,
-               XLA_FLAGS='--xla_force_host_platform_device_count=8',
-               JAX_PLATFORMS='cpu')
+    # platform/device-count must be pinned via the driver's own flags: the
+    # site hook registers the accelerator plugin in every subprocess and
+    # the JAX_PLATFORMS env var is ignored (this test silently ran its
+    # "mesh" single-device on the real chip before the flags existed)
     proc = subprocess.run(
         [sys.executable, str(driver), '--config', cfg_path, '--output', out,
-         '--slices', '2', '--retries', '0'],
-        capture_output=True, text=True, timeout=1800, env=env)
+         '--slices', '2', '--retries', '0',
+         '--platform', 'cpu', '--cpu_devices', '8'],
+        capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert '8 devices -> 2 slices of 4' in proc.stdout, proc.stdout
     for dset in ('tails', 'gaps'):
         tdir = Path(out) / 'minibude' / dset / 'ensemble' / 'bo_trial_0'
         assert (tdir / 'trial_results.csv').exists(), dset
@@ -168,12 +170,11 @@ def test_metric_eval_driver_combines(grid_config):
     driver = REPO / 'examples' / 'metric_evaluation' / 'metric_eval_driver.py'
     rundir = str(tmp / 'me_rundir')
     combined = str(tmp / 'combined.csv')
-    env = dict(os.environ, JAX_PLATFORMS='cpu')
     proc = subprocess.run(
         [sys.executable, str(driver), '--results_dir', out,
          '--config_file', cfg_path, '--output', combined,
-         '--rundir', rundir, '--max_tasks', '1'],
-        capture_output=True, text=True, timeout=1800, env=env)
+         '--rundir', rundir, '--max_tasks', '1', '--platform', 'cpu'],
+        capture_output=True, text=True, timeout=1800)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     df = pd.read_csv(combined)
     assert set(df.columns) == {'benchmark', 'dataset', 'method', 'trial',

@@ -20,6 +20,8 @@ epochs 10, loss l1_loss`` (reference ``nnueehcs/models.py:13-19``).
 from __future__ import annotations
 
 import copy
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,7 +249,15 @@ class WrappedModelBase:
             dp = self._mesh.shape['dp']
             bucket = -(-bucket // dp) * dp
         key = ('eval', return_ue, bucket,
-               getattr(self, '_fused_active', False)) + x.shape[1:]
+               getattr(self, '_fused_active', False),
+               # the fused GEMM issue order is read from the environment at
+               # trace time (ops/fused_ensemble.fused_forward_prefolded);
+               # keying the trace on it makes mid-process toggles of
+               # NNUEEHCS_TPU_FUSED_ORDER take effect instead of silently
+               # reusing the previously traced order
+               os.environ.get('NNUEEHCS_TPU_FUSED_ORDER', 'member')
+               if getattr(self, '_fused_active', False) else None,
+               ) + x.shape[1:]
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(

@@ -239,8 +239,9 @@ class DeltaUQMLP(WrappedModelBase):
             # anchor axis beats the hand kernel here, consistent with the
             # round-1 negative result (docs/BENCHMARKS.md).
             import os
-            opt_in = os.environ.get('NNUEEHCS_TPU_FUSED_ANCHORED', '') \
-                not in ('', '0', 'false')
+            opt_in = (os.environ.get('NNUEEHCS_TPU_FUSED_ANCHORED', '')
+                      .strip().lower()
+                      not in ('', '0', 'false', 'no', 'off'))
             if cache is None and opt_in and self._use_fused_eval():
                 from ..ops.fused_anchored import prepare_fused_anchored
                 cache = prepare_fused_anchored(self.net, self.params,

@@ -28,7 +28,7 @@ class MCDropoutModel(WrappedModelBase):
     uq_method = 'mc_dropout'
 
     def __init__(self, net, num_samples: int = 100, dropout_percent: float = 0.5,
-                 vectorize: bool = True, **kwargs):
+                 vectorize: bool = True, prng_impl: str = None, **kwargs):
         # Override p on every Dropout layer, mirroring the reference's
         # post-hoc module walk (reference ``models.py:132-134``).
         layers = tuple(
@@ -42,12 +42,17 @@ class MCDropoutModel(WrappedModelBase):
         # MC eval draws O(samples × batch × width) random bits per layer;
         # threefry dominates the pass (measured 83% of runtime — 5.9x
         # speedup from the hardware-friendly rbg counter generator on a
-        # v5e chip at 262k rows × 128 samples). rbg is the default for
-        # the *sampling path only*; set NNUEEHCS_TPU_PRNG_IMPL=threefry2x32
-        # for the fully-specified, cross-backend-stable stream.
+        # v5e chip at 262k rows × 128 samples).  rbg is the default for
+        # the *sampling path only* but is NOT stable across backends, so
+        # out-of-the-box MC streams differ CPU-vs-TPU.  ``prng_impl`` is a
+        # config-visible knob (``uq_config.mc_dropout.prng_impl:
+        # threefry2x32`` gives the fully-specified, cross-backend-stable
+        # stream — pinned in tests/test_uq_switches.py); the
+        # NNUEEHCS_TPU_PRNG_IMPL env var overrides it for ad-hoc A/B.
         import os
-        impl = os.environ.get('NNUEEHCS_TPU_PRNG_IMPL', 'rbg')
+        impl = os.environ.get('NNUEEHCS_TPU_PRNG_IMPL') or prng_impl or 'rbg'
         self._prng_impl = impl
+        self.prng_impl = impl
         self.reseed(0)
 
     def reseed(self, seed: int):
@@ -81,7 +86,11 @@ class MCDropoutModel(WrappedModelBase):
         jax.random path — statistically equivalent dropout (verified: the
         deviation matches inter-seed sampling noise)."""
         self._fused_active = False
-        if self._use_fused_eval() and self.initialized:
+        # a pinned threefry2x32 stream is a reproducibility contract: the
+        # fused kernel's on-chip PRNG is a different stream, so it must
+        # not engage when the user asked for the fully-specified stream
+        if (self._use_fused_eval() and self.initialized
+                and self.prng_impl != 'threefry2x32'):
             self._fused_active = True
         try:
             return super().__call__(x, return_ue=return_ue)
@@ -159,4 +168,6 @@ class MCDropoutModel(WrappedModelBase):
         d = super().config_dict()
         d['num_samples'] = self.num_samples
         d['dropout_percent'] = self.dropout_percent
+        # checkpoint bundles restore the same sampling stream family
+        d['prng_impl'] = self.prng_impl
         return d

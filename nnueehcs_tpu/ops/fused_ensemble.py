@@ -15,9 +15,9 @@ here instead:
    so the one-pass variance never cancels catastrophically even when
    ``|mean| ≫ std``, and write only the (tile, out) mean/std to HBM.
 
-Measured on one v5e chip (262k rows): ensemble-8 UE 25.3M samples/s (420×
-the torch-CPU reference; vmap path 17.8M/s); MC-dropout-128 UE 2.94M/s
-(20.6× the naive path).  A fused anchored (Δ-UQ) kernel was prototyped and
+Measured on one v5e chip (262k rows): ensemble-8 UE 27.1M samples/s at
+tile 1024 (330–590× the torch-CPU reference depending on host load; vmap
+path 17.8M/s); MC-dropout-128 UE 2.94M/s (20.6× the naive path).  A fused anchored (Δ-UQ) kernel was prototyped and
 measured *slower* than the vmap path — XLA already loop-fuses the
 anchor-axis reduction without materialising the (k, B, width) intermediate
 (~2.8M samples/s at k=100) — so the vmap path stays for anchoring.
@@ -147,12 +147,15 @@ def _pad_folded(folded, num_members, compute_dtype=jnp.float32,
     return ws, bs, relus
 
 
-def _fits_vmem(ws, bs, tile, dpad) -> bool:
+def _fits_vmem(ws, bs, tile, dpad, live_bufs=6) -> bool:
+    """``live_bufs`` = live (tile, 128) f32 activation/accumulator buffers:
+    6 covers the member-serial kernels; the layer-outer order keeps one
+    activation per member live and must pass ``num_members + 4``."""
     weight_bytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize
                        for w in ws) + \
         sum(int(np.prod(b.shape)) * b.dtype.itemsize for b in bs)
-    # x tile + a few live activation/accumulator buffers
-    work_bytes = tile * dpad * 4 + 6 * tile * 128 * 4
+    # x tile + the live activation/accumulator buffers
+    work_bytes = tile * dpad * 4 + live_bufs * tile * 128 * 4
     return weight_bytes + work_bytes <= _VMEM_BUDGET
 
 
@@ -322,7 +325,11 @@ def prepare_fused_weights(net, params, state) -> FusedCache:
     # narrow per-step DMA costs more than the 2×(B,128) pad traffic it
     # saves.  Keep the 128-lane pad.
     ws, bs, relus = _pad_folded(folded, num_members, compute_dtype=cdt)
-    if not _fits_vmem(ws, bs, 1024, ws[0].shape[1]):
+    # gate on the SMALLEST tile the row planner can pick (256):
+    # fused_forward_prefolded downgrades the per-batch tile until it fits,
+    # so an ensemble too big for tile 1024 still runs fused at 512/256
+    # instead of silently dropping to the ~40% slower vmap path
+    if not _fits_vmem(ws, bs, 256, ws[0].shape[1]):
         return FusedCache(False, params, state)
     ws = [jax.device_put(w) for w in ws]
     bs = [jax.device_put(b) for b in bs]
@@ -340,9 +347,20 @@ def fused_forward_prefolded(cache: FusedCache, x):
     import os
     b = x.shape[0]
     bpad, tile = _plan_rows(b)
+    # halve the planned tile until the working set fits VMEM (prepare only
+    # guarantees the 256 floor; 512/1024 divide bpad so the grid stays valid)
+    while tile > 256 and not _fits_vmem(cache.ws, cache.bs, tile,
+                                        cache.dpad):
+        tile //= 2
     x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
     x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
     order = os.environ.get('NNUEEHCS_TPU_FUSED_ORDER', 'member')
+    if order == 'layer' and not _fits_vmem(
+            cache.ws, cache.bs, tile, cache.dpad,
+            live_bufs=cache.num_members + 4):
+        # layer-outer keeps num_members live activation buffers; fall back
+        # to the member-serial order rather than fail to compile
+        order = 'member'
     mean, std = _fused_forward(x_p, cache.ws, cache.bs, cache.num_members,
                                cache.relus, cache.out_dim, tile,
                                compute_dtype=cache.compute_dtype,

@@ -159,8 +159,15 @@ class Trainer:
         bs = dl.batch_size
         n = x.shape[0]
         rng = jax.random.PRNGKey(self.seed)
-        fn = jax.jit(lambda p, s, xb, yb, r:
-                     model.validation_loss(p, s, (xb, yb), r))
+        # cache the jitted loss in the model's jit-cache (cleared by
+        # model.invalidate_cache) — a fresh jax.jit wrapper per call would
+        # re-trace the loss on every validate()
+        key = ('trainer_validate',)
+        fn = model._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, s, xb, yb, r:
+                         model.validation_loss(p, s, (xb, yb), r))
+            model._jit_cache[key] = fn
         losses, weights = [], []
         for lo in range(0, n, bs):
             hi = min(lo + bs, n)

@@ -354,3 +354,88 @@ class TestAnchoredBatchSizeBudget:
         _, ue = m(x, return_ue=True)
         np.testing.assert_allclose(np.asarray(ue), np.asarray(ue_ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mc_dropout: prng_impl knob (config-visible sampling-stream family)
+# ---------------------------------------------------------------------------
+class TestMCDropoutPrngImpl:
+    """``uq_config.mc_dropout.prng_impl`` selects the MC sampling stream:
+    the default ``rbg`` is hardware-fast but cross-backend-unstable;
+    ``threefry2x32`` is the fully-specified stream, pinned here against
+    CPU-generated goldens so any backend must reproduce it (the fused
+    on-chip-PRNG kernel is disabled under threefry for the same reason).
+    Mirrors the ``knn_exact`` config-knob treatment (models/kde.py);
+    reference RNG contract: torch global RNG, reference
+    ``models.py:124-179``."""
+
+    DESCR3 = [{'Linear': {'args': [4, 32]}}, {'ReLU': {}},
+              {'Linear': {'args': [32, 32]}}, {'ReLU': {}},
+              {'Linear': {'args': [32, 1]}}]
+
+    def _model(self, **descr_extra):
+        from nnueehcs_tpu.model_builder import MCDropoutModelBuilder
+        descr = {'num_samples': 8, 'dropout_percent': 0.2, **descr_extra}
+        m = MCDropoutModelBuilder(self.DESCR3, descr,
+                                  train_config={'loss': 'l1_loss'}).build()
+        m.init(jax.random.PRNGKey(0), (4,))
+        return m
+
+    def test_default_is_rbg(self, monkeypatch):
+        monkeypatch.delenv('NNUEEHCS_TPU_PRNG_IMPL', raising=False)
+        assert self._model().prng_impl == 'rbg'
+
+    def test_config_knob(self, monkeypatch):
+        monkeypatch.delenv('NNUEEHCS_TPU_PRNG_IMPL', raising=False)
+        assert self._model(
+            prng_impl='threefry2x32').prng_impl == 'threefry2x32'
+
+    def test_env_overrides_config(self, monkeypatch):
+        monkeypatch.setenv('NNUEEHCS_TPU_PRNG_IMPL', 'threefry2x32')
+        assert self._model(prng_impl='rbg').prng_impl == 'threefry2x32'
+
+    def test_threefry_stream_pinned_cross_backend(self, monkeypatch):
+        """Golden values generated on the CPU backend; the fully-specified
+        threefry2x32 stream must reproduce them on every backend."""
+        monkeypatch.delenv('NNUEEHCS_TPU_PRNG_IMPL', raising=False)
+        m = self._model(prng_impl='threefry2x32')
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 4)).astype(np.float32)
+        m.reseed(123)
+        pred, ue = m(x, return_ue=True)
+        np.testing.assert_allclose(
+            np.asarray(pred)[:4, 0],
+            [0.03038649, -0.05297431, 0.05848914, -0.04400704], rtol=1e-5,
+            atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(ue)[:4, 0],
+            [0.03213396, 0.05692177, 0.04686226, 0.04667858], rtol=1e-5,
+            atol=1e-7)
+        np.testing.assert_allclose(float(np.asarray(pred).sum()),
+                                   -0.43120483, rtol=1e-5)
+        np.testing.assert_allclose(float(np.asarray(ue).sum()),
+                                   0.75511718, rtol=1e-5)
+        # reseed restores the exact stream
+        m.reseed(123)
+        p2, u2 = m(x, return_ue=True)
+        assert np.array_equal(np.asarray(pred), np.asarray(p2))
+        assert np.array_equal(np.asarray(ue), np.asarray(u2))
+
+    def test_checkpoint_roundtrip_preserves_impl(self, tmp_path,
+                                                 monkeypatch):
+        monkeypatch.delenv('NNUEEHCS_TPU_PRNG_IMPL', raising=False)
+        from nnueehcs_tpu.training.checkpoint import save_model, load_model
+        m = self._model(prng_impl='threefry2x32')
+        save_model(m, str(tmp_path / 'model.pth'))
+        m2 = load_model(str(tmp_path / 'model.pth'))
+        assert m2.prng_impl == 'threefry2x32'
+
+    def test_threefry_disables_fused_kernel(self, monkeypatch):
+        """The fused kernel's on-chip PRNG is a different stream; a pinned
+        threefry2x32 contract must keep it off."""
+        monkeypatch.delenv('NNUEEHCS_TPU_PRNG_IMPL', raising=False)
+        m = self._model(prng_impl='threefry2x32')
+        monkeypatch.setattr(type(m), '_use_fused_eval', lambda self: True)
+        x = np.zeros((4, 4), np.float32)
+        m(x, return_ue=True)
+        assert m._fused_active is False

@@ -20,26 +20,54 @@ grep -q R5_CLOSE_POSTHOC_DONE $G/close_posthoc.out 2>/dev/null \
     || { echo "QUEUE NEVER FINISHED — aborting window A"; exit 1; }
 echo "R5A_START $(date -u +%H:%M:%S)"
 
-# repair pass: two queue cells produced FAILED-row CSVs from transient
-# causes (minibude tails ensemble ran against the pre-737d996 working
-# tree missing base.py's `import os`; minibude gaps mc_dropout collided
-# with a concurrent chip probe -> FAILED_PRECONDITION).  The code is
-# fixed / the probe is gone — delete and re-run those two evalm passes.
+# repair pass: re-run every evalm the queue lost to transient causes —
+# FAILED-row CSVs (one cell ran against the pre-737d996 working tree
+# missing base.py's `import os`; one collided with a concurrent chip
+# probe) and cells whose evalm hung on the tunnel and was killed
+# (EVALM FAILED lines in close_posthoc.out).  Retro-bank afterwards
+# (the queue skips banking when evalm fails).
 EM=examples/metric_evaluation/evaluate_metrics.py
 T=experiments/grid_r4/posthoc_tree
-CFG=examples/bo_driven/config_full.yaml
-for cell in "minibude tails ensemble" "minibude gaps mc_dropout"; do
-    set -- $cell
-    out="$G/artifacts/evalmetrics_${1}_${2}_${3}.csv"
-    if grep -q FAILED "$out" 2>/dev/null; then
+A=experiments/full_cell/artifacts
+repair() {  # repair <bench> <dset> <method> <config>
+    local b=$1 d=$2 m=$3 cfg=$4
+    local out="$G/artifacts/evalmetrics_${b}_${d}_${m}.csv"
+    if [ -f "$out" ] && ! grep -q FAILED "$out"; then
+        echo "R5A_REPAIR_SKIP $b:$m:$d (clean CSV exists)"
+    else
         rm -f "$out"
-        timeout 2400 python $EM --results_dir $T --config_file $CFG \
-            --benchmark "$1" --dataset "$2" --method "$3" \
+        timeout 2400 python $EM --results_dir $T --config_file "$cfg" \
+            --benchmark "$b" --dataset "$d" --method "$m" \
             --output "$out" >> $G/posthoc_r5.log 2>&1 \
-            && echo "R5A_REPAIR_DONE $1:$3:$2" \
-            || echo "R5A_REPAIR_FAILED $1:$3:$2"
+            && echo "R5A_REPAIR_DONE $b:$m:$d" \
+            || { echo "R5A_REPAIR_FAILED $b:$m:$d"; return; }
     fi
+    for td in $T/$b/$d/$m/bo_trial_*; do
+        [ -f "$td/model.pth" ] || continue
+        mkdir -p "$A/${b}_${m}_${d}/pareto_models/$(basename $td)"
+        cp -n "$td/model.pth" \
+            "$A/${b}_${m}_${d}/pareto_models/$(basename $td)/" 2>/dev/null
+        [ -f "$td/hparams.yaml" ] && cp -n "$td/hparams.yaml" \
+            "$A/${b}_${m}_${d}/pareto_models/$(basename $td)/" 2>/dev/null
+    done
+    echo "R5A_REBANKED $b:$m:$d"
+}
+repair minibude tails ensemble examples/bo_driven/config_full.yaml
+repair minibude gaps mc_dropout examples/bo_driven/config_full.yaml
+# every queue-reported evalm failure (hung-tunnel kills land here)
+grep "EVALM FAILED" $G/close_posthoc.out 2>/dev/null | sort -u | \
+while read -r _ _ cell; do
+    b=${cell%%:*}; rest=${cell#*:}; m=${rest%%:*}; d=${rest#*:}
+    case $m in kde|knn_kde) cfg=examples/bo_driven/config_kde.yaml ;;
+                *) cfg=examples/bo_driven/config_full.yaml ;; esac
+    repair "$b" "$d" "$m" "$cfg"
 done
+# collate must postdate the repaired cells: re-run it
+python experiments/grid_r4/build_collate_tree.py --out $G/collate_tree \
+    >> $G/posthoc_r5.log 2>&1
+python examples/bo_driven/collate.py --input $G/collate_tree \
+    --output $G/artifacts/collate_full >> $G/posthoc_r5.log 2>&1 \
+    && echo R5A_COLLATE_DONE || echo R5A_COLLATE_FAILED
 
 timeout 2400 python $G/attrib_eval.py > $G/attrib_eval.out 2> $G/attrib_eval.err
 echo "R5A_ATTRIB_EVAL_DONE rc=$? $(date -u +%H:%M:%S)"

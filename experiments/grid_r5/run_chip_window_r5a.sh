@@ -54,6 +54,18 @@ repair() {  # repair <bench> <dset> <method> <config>
 }
 repair minibude tails ensemble examples/bo_driven/config_full.yaml
 repair minibude gaps mc_dropout examples/bo_driven/config_full.yaml
+# recon-level repair: the queue's minibude:pager:tails reconstruction died
+# on a transient TPU FailedPrecondition (tunnel glitch) before any model
+# landed; re-run the reconstruction itself, then its evalm + rebank.
+if [ ! -f "$G/artifacts/evalmetrics_minibude_tails_pager.csv" ]; then
+    timeout 2400 python experiments/grid_r4/reconstruct_pareto.py \
+        --cell minibude:pager:tails \
+        --config examples/bo_driven/config_full.yaml \
+        >> $G/recon_r5.log 2>&1 \
+        && echo "R5A_RECON_REPAIR_DONE minibude:pager:tails" \
+        || echo "R5A_RECON_REPAIR_FAILED minibude:pager:tails"
+    repair minibude tails pager examples/bo_driven/config_full.yaml
+fi
 # every queue-reported evalm failure (hung-tunnel kills land here)
 grep "EVALM FAILED" $G/close_posthoc.out 2>/dev/null | sort -u | \
 while read -r _ _ cell; do

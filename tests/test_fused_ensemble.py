@@ -160,3 +160,59 @@ def test_prepare_honors_bf16_compute_dtype(model):
     cache32 = prepare_fused_weights(model.net, model.params, model.state)
     assert cache32.compute_dtype == 'float32'
     assert all(w.dtype == jnp.float32 for w in cache32.ws)
+
+
+@pytest.mark.parametrize('in_dim', [5, 40])
+def test_xt_layout_matches_wide_interpret(in_dim):
+    """The transposed-input ('xt') layout is the same math as the classic
+    wide layout — the first GEMM contracts dim 0 of both operands instead
+    of zero-padding x to 128 lanes.  Pin both layouts against each other
+    and against the per-member reference in Pallas interpret mode (CPU),
+    at a batch that is not tile-aligned so the row padding/slicing paths
+    are exercised."""
+    from nnueehcs_tpu.ops.fused_ensemble import fused_ensemble_eval
+    descr = [{'Linear': {'args': [in_dim, 32]}},
+             {'BatchNorm1d': {'args': [32]}},
+             {'ReLU': {}},
+             {'Linear': {'args': [32, 32]}},
+             {'ReLU': {}},
+             {'Linear': {'args': [32, 1]}}]
+    m = EnsembleModelBuilder(descr, {'num_models': 3},
+                             train_config={'loss': 'l1_loss'}).build()
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(300, in_dim)),
+                    jnp.float32)
+    wide = fused_ensemble_eval(m.net, m.params, m.state, x,
+                               layout='wide', interpret=True)
+    xt = fused_ensemble_eval(m.net, m.params, m.state, x,
+                             layout='xt', interpret=True)
+    assert wide is not None and xt is not None
+    for a, b in zip(wide, xt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    # against the per-member reference forward
+    outs = []
+    for m_i in range(3):
+        params_m = jax.tree_util.tree_map(lambda l: l[m_i], m.params)
+        state_m = jax.tree_util.tree_map(lambda l: l[m_i], m.state)
+        o, _ = m.net.apply(params_m, state_m, x, EVAL_MODE)
+        outs.append(np.asarray(o))
+    ref_mean = np.mean(outs, axis=0)
+    ref_std = np.std(outs, axis=0, ddof=1)
+    np.testing.assert_allclose(np.asarray(xt[0]), ref_mean,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xt[1]), ref_std,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_xt_layout_pads_first_layer_to_sublane():
+    """xt caches pad the first layer's input dim to 8 (f32 sublane
+    quantum), not 128 — that is the whole point of the layout."""
+    from nnueehcs_tpu.ops.fused_ensemble import prepare_fused_weights
+    m = EnsembleModelBuilder(DESCR, {'num_models': 3},
+                             train_config={'loss': 'l1_loss'}).build()
+    cache_xt = prepare_fused_weights(m.net, m.params, m.state, layout='xt')
+    assert cache_xt.layout == 'xt'
+    assert cache_xt.dpad == 8           # 5 features -> 8
+    assert cache_xt.ws[0].shape[1] == 8
+    cache_w = prepare_fused_weights(m.net, m.params, m.state, layout='wide')
+    assert cache_w.dpad == 128

@@ -186,7 +186,8 @@ def test_metric_eval_driver_combines(grid_config):
     proc = subprocess.run(
         [sys.executable, str(driver), '--results_dir', out,
          '--config_file', cfg_path, '--output', combined,
-         '--rundir', rundir, '--max_tasks', '1', '--skip-completed'],
-        capture_output=True, text=True, timeout=900, env=env)
+         '--rundir', rundir, '--max_tasks', '1', '--skip-completed',
+         '--platform', 'cpu'],
+        capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert 'Skipping completed' in proc.stdout
